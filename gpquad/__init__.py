@@ -10,6 +10,8 @@ from . import kernels, ops, quadrature
 from .kernels import HyperState, Matern, SquaredExponential, make_kernel
 from .models.efgp import (FitState, fit, fit_with_grid, predict_mean,
                           predict_var)
+from .models.gradient import GradientResult, gradient, gradient_with_grid
+from .models.model import EFGP
 
 __version__ = "0.1.0"
 
@@ -17,4 +19,5 @@ __all__ = [
     "kernels", "ops", "quadrature",
     "HyperState", "Matern", "SquaredExponential", "make_kernel",
     "FitState", "fit", "fit_with_grid", "predict_mean", "predict_var",
+    "GradientResult", "gradient", "gradient_with_grid", "EFGP",
 ]

@@ -16,8 +16,10 @@ Math parity:
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -25,6 +27,7 @@ from jax import lax
 __all__ = [
     "truncation_bound",
     "grid_geometry",
+    "grid_geometry_jit",
     "spectral_grid",
     "padded_grid_mask",
     "bucket_mtot",
@@ -122,6 +125,29 @@ def grid_geometry(kernel, eps, L, *, use_integral: bool = True,
     )
 
 
+@partial(jax.jit, static_argnames=("use_integral", "l2scaled"))
+def _grid_geometry_compiled(kernel, eps, L, trunc_eps, *, use_integral,
+                            l2scaled):
+    return grid_geometry(kernel, eps, L, use_integral=use_integral,
+                         l2scaled=l2scaled, trunc_eps=trunc_eps)
+
+
+def grid_geometry_jit(kernel, eps, L, *, use_integral: bool = True,
+                      l2scaled: bool = False,
+                      trunc_eps: Optional[float] = None):
+    """Compiled-once grid geometry.
+
+    The eager path re-traces the bisection closures on every call (one slow
+    recompile per hyperparameter step on the remote-TPU backend); this entry
+    point keys the jit cache on the kernel's pytree structure so repeated
+    planning during hyper learning reuses one executable.
+    """
+    return _grid_geometry_compiled(
+        kernel, jnp.asarray(eps), jnp.asarray(L),
+        jnp.asarray(eps if trunc_eps is None else trunc_eps),
+        use_integral=use_integral, l2scaled=l2scaled)
+
+
 def spectral_grid(kernel, eps, L, *, use_integral: bool = True,
                   l2scaled: bool = False,
                   trunc_eps: Optional[float] = None
@@ -131,7 +157,7 @@ def spectral_grid(kernel, eps, L, *, use_integral: bool = True,
     Drop-in behavioral equivalent of the reference's ``get_xis``
     (utils/kernels.py:72-143): ``xis = arange(-hm, hm+1) * h``.
     """
-    h, hm_real = grid_geometry(
+    h, hm_real = grid_geometry_jit(
         kernel, eps, L, use_integral=use_integral, l2scaled=l2scaled,
         trunc_eps=trunc_eps)
     h = float(h)
