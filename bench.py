@@ -1,0 +1,153 @@
+"""Headline benchmark: n=1e5 2-D EFGP fit + predict + hyper-gradient step.
+
+North star (BASELINE.md): posterior mean + posterior variance + one
+hyperparameter-gradient step at n=1e5, d=2 in < 1 s on one TPU v5e chip,
+with eps=1e-6 quadrature and agreement against the dense solve of the same
+objective (computed in f64 on the CPU backend).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": value/1.0}
+plus component timings and accuracy fields.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--targets", type=int, default=10_000)
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--probes", type=int, default=256,
+                    help="Hutchinson probes for the stochastic variance")
+    ap.add_argument("--trace-samples", type=int, default=10)
+    ap.add_argument("--lengthscale", type=float, default=0.1)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-accuracy", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.efgp import (fit_with_grid, predict_mean, predict_var)
+    from gpquad.models.gradient import gradient_with_grid
+    from gpquad.quadrature import spectral_grid
+
+    rng = np.random.default_rng(0)
+    n, d = args.n, 2
+    xh = rng.uniform(0, 1, size=(n, d))
+    fh = (np.sin(3 * np.pi * xh[:, 0]) * np.cos(2 * np.pi * xh[:, 1])
+          + 0.5 * np.sin(7 * xh[:, 0] + 5 * xh[:, 1]))
+    yh = fh + 0.1 * rng.normal(size=n)
+    x = jnp.asarray(xh, dtype=jnp.float32)
+    y = jnp.asarray(yh, dtype=jnp.float32)
+    xnew = jnp.asarray(rng.uniform(0, 1, size=(args.targets, d)),
+                       dtype=jnp.float32)
+
+    kernel = SquaredExponential(lengthscale=jnp.float32(args.lengthscale),
+                                variance=jnp.float32(1.0), dimension=d)
+    sigmasq, eps = 0.01, args.eps
+    _, h, mtot = spectral_grid(kernel, eps, 1.0)
+    key = jax.random.PRNGKey(0)
+
+    def one_pass():
+        state = fit_with_grid(x, y, kernel, sigmasq, h, mtot,
+                              cg_tol=1e-6, max_cg_iter=1000)
+        mean = predict_mean(state, xnew)
+        var = predict_var(state, xnew, method="stochastic", key=key,
+                          probes=args.probes, cg_tol=1e-4, max_cg_iter=1000)
+        grad = gradient_with_grid(x, y, kernel, sigmasq, h, key, mtot=mtot,
+                                  trace_samples=args.trace_samples,
+                                  cg_tol=1e-4, max_cg_iter=1000)
+        return state, mean, var, grad
+
+    # warmup/compile
+    t0 = time.time()
+    state, mean, var, grad = jax.block_until_ready(one_pass())
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        state, mean, var, grad = jax.block_until_ready(one_pass())
+        times.append(time.time() - t0)
+    total = min(times)
+
+    # component timings (warm)
+    t0 = time.time()
+    state = jax.block_until_ready(
+        fit_with_grid(x, y, kernel, sigmasq, h, mtot, cg_tol=1e-6,
+                      max_cg_iter=1000))
+    t_fit = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(predict_mean(state, xnew))
+    t_mean = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(
+        predict_var(state, xnew, method="stochastic", key=key,
+                    probes=args.probes, cg_tol=1e-4, max_cg_iter=1000))
+    t_var = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(
+        gradient_with_grid(x, y, kernel, sigmasq, h, key, mtot=mtot,
+                           trace_samples=args.trace_samples, cg_tol=1e-4,
+                           max_cg_iter=1000))
+    t_grad = time.time() - t0
+
+    out = {
+        "metric": "efgp_fit_predict_grad_n1e5_2d_seconds",
+        "value": round(total, 4),
+        "unit": "s",
+        "vs_baseline": round(total / 1.0, 4),
+        "n": n, "d": d, "eps": eps, "mtot": int(mtot),
+        "M": int(mtot) ** d, "targets": args.targets,
+        "probes": args.probes, "trace_samples": args.trace_samples,
+        "fit_s": round(t_fit, 4), "mean_s": round(t_mean, 4),
+        "var_s": round(t_var, 4), "grad_s": round(t_grad, 4),
+        "compile_s": round(compile_s, 2),
+        "mean_cg_iters": int(state.mean_cg_iters),
+        "backend": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+    if not args.skip_accuracy:
+        # f64 dense solve of the SAME objective on CPU (A beta = D F* y)
+        from gpquad.models.efgp import tensor_grid
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            M = mtot ** d
+            m = (mtot - 1) // 2
+            k1 = np.arange(-m, m + 1)
+            K = np.stack(np.meshgrid(k1, k1, indexing="ij"), -1).reshape(-1, d)
+            sub = slice(0, min(n, 200_000))
+            F = np.exp(2j * np.pi * (xh @ (h * K.T)))
+            xis = (h * K).astype(np.float64)
+            S = np.asarray(
+                SquaredExponential(lengthscale=args.lengthscale,
+                                   variance=1.0, dimension=d)
+                .spectral_density(jnp.asarray(xis)))
+            ws = np.sqrt(S * h**d)
+            A = (ws[:, None] * (F.conj().T @ F) * ws[None, :]
+                 + sigmasq * np.eye(M))
+            beta64 = np.linalg.solve(A, ws * (F.conj().T @ yh))
+        beta32 = np.asarray(jnp.real(state.beta)) \
+            + 1j * np.asarray(jnp.imag(state.beta))
+        rel_beta = float(np.linalg.norm(beta32 - beta64)
+                         / np.linalg.norm(beta64))
+        # posterior-mean agreement at the first 2000 targets
+        xt = np.asarray(xnew[:2000], dtype=np.float64)
+        Ft = np.exp(2j * np.pi * (xt @ (h * K.T)))
+        mean64 = np.real(Ft @ (ws * beta64))
+        mean32 = np.asarray(mean)[:2000]
+        out["rel_err_beta_vs_dense_f64"] = round(rel_beta, 8)
+        out["max_err_mean_vs_dense_f64"] = round(
+            float(np.max(np.abs(mean32 - mean64))), 8)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
