@@ -12,6 +12,8 @@ from .models.efgp import (FitState, fit, fit_with_grid, predict_mean,
                           predict_var)
 from .models.gradient import GradientResult, gradient, gradient_with_grid
 from .models.model import EFGP
+from .models.pg import (PolyagammaGPClassifier,
+                        PolyagammaGPNegativeBinomialRegressor)
 
 __version__ = "0.1.0"
 
@@ -20,4 +22,5 @@ __all__ = [
     "HyperState", "Matern", "SquaredExponential", "make_kernel",
     "FitState", "fit", "fit_with_grid", "predict_mean", "predict_var",
     "GradientResult", "gradient", "gradient_with_grid", "EFGP",
+    "PolyagammaGPClassifier", "PolyagammaGPNegativeBinomialRegressor",
 ]

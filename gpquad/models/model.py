@@ -205,11 +205,8 @@ class EFGP:
         d = self.x.shape[1]
         ws_mask = None
         if bucket_grid:
-            from ..quadrature import padded_grid_mask
-            from .efgp import tensor_grid
-            _, mask1d = padded_grid_mask(mtot, hm, h, dtype=self.x.dtype)
-            # flat d-dim mask: product of the per-dimension 1-D masks
-            ws_mask = tensor_grid(mask1d, d).prod(axis=-1)
+            from ..quadrature import flat_grid_mask
+            ws_mask = flat_grid_mask(mtot, d, hm, dtype=self.x.dtype)
         beta0 = None
         if self.opts.get("mean_cg_warm_start", True) \
                 and self._last_gradient_beta is not None \

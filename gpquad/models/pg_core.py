@@ -1,0 +1,488 @@
+"""Polya-Gamma variational GP core (component C15, functional layer).
+
+TPU-native re-design of the reference's PG-augmented GP machinery
+(reference: polyagamma_classification/pg_classifier.py:29-1055).  The same
+EFGP structured-operator core is reused; what is specific to the PG model:
+
+  - the *weighted* Gram operator ``F* diag(Delta) F`` — another multilevel
+    Toeplitz matrix whose lag table is one type-1 NUFFT of Delta
+    (pg_classifier.py:377-384);
+  - a damped fixed point on the diagonal PG variational parameters Delta,
+    with Hutchinson probes estimating diag(Sigma) (pg_classifier.py:507-582);
+  - a symmetrized feature-space solver ``(I + Ds F* Omega F Ds)`` used by
+    the M-step, the beta-mean solve and every predictive-variance mode
+    (pg_classifier.py:439-504);
+  - Bernoulli and Negative-Binomial Polya-Gamma likelihoods, the
+    logistic-Gaussian moment approximation and the Gauss-Hermite
+    total-count gradient (pg_classifier.py:84-258).
+
+All stochastic pieces take explicit PRNG keys; heavy passes are jitted with
+static grid sizes so the EM loop does not recompile as hypers move.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache, partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cg import pcg
+from ..ops.nufft import NUFFT, make_nufft
+from ..ops.operators import convolution_vector
+from ..ops.toeplitz import ToeplitzND, make_toeplitz
+from .efgp import _cdtype, quadrature_weights, tensor_grid
+
+__all__ = [
+    "PGSpectralState", "build_pg_spectral_state", "weighted_toeplitz",
+    "pg_omega_expectation", "approximate_logistic_gaussian_prob",
+    "negative_binomial_gaussian_mean", "expected_log_sigmoid_neg_gaussian",
+    "negative_binomial_total_count_gradient",
+    "estep_pass", "mstep_gradient", "solve_beta_mean",
+    "predictive_mean", "predictive_variance_exact",
+    "stochastic_variance_sums", "evaluate_variance_sums",
+    "chebyshev_lobatto_nodes", "barycentric_matrix",
+    "predictive_variance_chebyshev",
+]
+
+
+# ---------------------------------------------------------------------------
+# likelihood math
+# ---------------------------------------------------------------------------
+
+def approximate_logistic_gaussian_prob(mean, variance=None):
+    """E[sigmoid(F)] for Gaussian F via sigmoid(m / sqrt(1 + pi v / 8))
+    (reference pg_classifier.py:173-191)."""
+    if variance is None:
+        return jax.nn.sigmoid(mean)
+    safe = jnp.maximum(variance, 0.0)
+    return jax.nn.sigmoid(mean / jnp.sqrt(1.0 + (jnp.pi / 8.0) * safe))
+
+
+def negative_binomial_gaussian_mean(mean, variance, *, total_count):
+    """E[count] = r exp(m + v/2) (reference pg_classifier.py:194-201)."""
+    return total_count * jnp.exp(mean + 0.5 * jnp.maximum(variance, 0.0))
+
+
+def pg_omega_expectation(c, pg_b):
+    """E[omega | c] = b/(2c) tanh(c/2), small-c limit b/4
+    (reference pg_classifier.py:252-258)."""
+    safe = jnp.maximum(c, 1e-12)
+    mean = 0.5 * pg_b * jnp.tanh(0.5 * safe) / safe
+    return jnp.where(c > 1e-8, mean, 0.25 * pg_b)
+
+
+@lru_cache(maxsize=None)
+def _gauss_hermite_normal_rule(num_nodes: int):
+    """Nodes/weights for E_{z~N(0,1)} f(z) (reference pg_classifier.py:204-211)."""
+    base_nodes, base_weights = np.polynomial.hermite.hermgauss(num_nodes)
+    return (np.sqrt(2.0) * base_nodes, base_weights / np.sqrt(np.pi))
+
+
+def expected_log_sigmoid_neg_gaussian(mean, variance, *, quadrature_nodes: int):
+    """E[log sigmoid(-F)] by Gauss-Hermite (reference pg_classifier.py:214-228)."""
+    nodes, weights = _gauss_hermite_normal_rule(quadrature_nodes)
+    nodes = jnp.asarray(nodes, mean.dtype)
+    weights = jnp.asarray(weights, mean.dtype)
+    std = jnp.sqrt(jnp.maximum(variance, 0.0))
+    pts = mean[..., None] + std[..., None] * nodes
+    return jnp.sum(jax.nn.log_sigmoid(-pts) * weights, axis=-1)
+
+
+def negative_binomial_total_count_gradient(targets, mean, variance, *,
+                                           total_count, quadrature_nodes: int):
+    """d ELBO / d r for the NB likelihood (reference pg_classifier.py:231-249)."""
+    r = jnp.asarray(total_count, mean.dtype)
+    els = expected_log_sigmoid_neg_gaussian(mean, variance,
+                                            quadrature_nodes=quadrature_nodes)
+    return jnp.sum(jax.scipy.special.digamma(targets + r)
+                   - jax.scipy.special.digamma(r) + els)
+
+
+# ---------------------------------------------------------------------------
+# spectral state + weighted Toeplitz
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PGSpectralState:
+    """EFGP grid artifacts for the PG model (reference _SpectralState,
+    pg_classifier.py:62-75)."""
+    h: jnp.ndarray
+    ws: jnp.ndarray        # (M,) complex sqrt(S h^d)
+    ws2: jnp.ndarray       # (M,) complex S h^d
+    Dprime: jnp.ndarray    # (M, H) complex h^d dS/dtheta
+    nufft: NUFFT
+    toeplitz: ToeplitzND   # unweighted Gram F*F (kept for parity/diagnostics)
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    d: int = dataclasses.field(metadata={"static": True}, default=1)
+
+    @property
+    def M(self) -> int:
+        return self.mtot ** self.d
+
+
+jax.tree_util.register_dataclass(
+    PGSpectralState,
+    data_fields=["h", "ws", "ws2", "Dprime", "nufft", "toeplitz"],
+    meta_fields=["mtot", "d"],
+)
+
+
+@partial(jax.jit, static_argnames=("mtot",))
+def build_pg_spectral_state(x, kernel, h, *, mtot: int,
+                            ws_mask=None) -> PGSpectralState:
+    """Grid + weights + operators (reference _build_spectral_state,
+    pg_classifier.py:310-374)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    rdtype = x.dtype
+    cdtype = _cdtype(rdtype)
+    h = jnp.asarray(h, rdtype)
+    m = (mtot - 1) // 2
+    xis = tensor_grid(jnp.arange(-m, m + 1, dtype=rdtype) * h, d)
+    s = kernel.spectral_density(xis)
+    if ws_mask is not None:
+        s = s * ws_mask
+    ws2 = (s * h**d).astype(cdtype)
+    ws = jnp.sqrt(ws2)
+    Dprime = (h**d) * kernel.spectral_grad(xis)
+    if ws_mask is not None:
+        Dprime = Dprime * ws_mask[:, None]
+    Dprime = Dprime.astype(cdtype)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype)
+    toeplitz = make_toeplitz(convolution_vector(m, x, h))
+    return PGSpectralState(h=h, ws=ws, ws2=ws2, Dprime=Dprime, nufft=nufft,
+                           toeplitz=toeplitz, mtot=mtot, d=d)
+
+
+def weighted_toeplitz_from_points(x, h, mtot: int, delta,
+                                  cdtype=None) -> ToeplitzND:
+    """Build ``F* diag(delta) F`` for points ``x``; see
+    :func:`weighted_toeplitz`."""
+    if x.ndim == 1:
+        x = x[:, None]
+    op = make_nufft(x, h, 2 * mtot - 1, cdtype=cdtype)
+    v = op.type1(delta.astype(op.phases[0].dtype))
+    return make_toeplitz(v)
+
+
+def weighted_toeplitz(spectral: PGSpectralState, x, delta) -> ToeplitzND:
+    """Exact weighted Gram ``F* diag(delta) F`` as a Toeplitz operator whose
+    lag table is one type-1 NUFFT of delta on the doubled grid (reference
+    _build_weighted_toeplitz, pg_classifier.py:377-384; exact here — the
+    reference fixes NUFFT eps at construction)."""
+    return weighted_toeplitz_from_points(x, spectral.h, spectral.mtot, delta,
+                                         cdtype=spectral.ws.dtype)
+
+
+# ---------------------------------------------------------------------------
+# solvers
+# ---------------------------------------------------------------------------
+
+def _feature_solver(spectral: PGSpectralState, wtoe: ToeplitzND, *,
+                    cg_tol: float, max_cg_iter: int = 2000):
+    """Symmetrized solver for ``A = I + Ds F* Omega F Ds`` with
+    ``Ds = sqrt(ws2)`` floored away from zero (reference
+    _make_feature_space_solver, pg_classifier.py:439-504).
+
+    Returns ``solve(q) -> (beta, iters)`` where ``beta`` solves
+    ``(D2^{-1} + F* Omega F)^{-1}``-style systems via
+    ``beta = Ds^{-1} (I + S)^{-1} Ds q``.
+    """
+    D2 = jnp.real(spectral.ws2)
+    eps_d = jnp.maximum(jnp.mean(D2) * 1e-14, 1e-14)
+    Ds = jnp.sqrt(jnp.maximum(D2, eps_d)).astype(spectral.ws.dtype)
+    Ds_inv = 1.0 / Ds
+
+    def apply_IpS(Y):
+        return Y + Ds * wtoe(Ds * Y)
+
+    def solve(q):
+        rhs = Ds * q.astype(Ds.dtype)
+        res = pcg(apply_IpS, rhs, tol=cg_tol, maxiter=max_cg_iter)
+        beta = Ds_inv * res.x
+        return beta, res.iters
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# E-step
+# ---------------------------------------------------------------------------
+
+class EstepResult(NamedTuple):
+    delta: jnp.ndarray
+    mean: jnp.ndarray
+    sigma_diag: jnp.ndarray
+    residual: jnp.ndarray
+    cg_iters: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("max_iters", "cg_tol", "max_cg_iter"))
+def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
+               pg_b, probes, *, max_iters: int, rho0: float, gamma: float,
+               cg_tol: float, max_cg_iter: int = 2000) -> EstepResult:
+    """Damped fixed point on the PG variational diagonal Delta
+    (reference _run_estep, pg_classifier.py:507-582).
+
+    Per inner iteration: apply Sigma = F D (I + D F* Delta F D)^{-1} D F*
+    to [kappa; probes] with one batched CG, estimate diag(Sigma) by probe
+    correlation, update Delta <- (1-rho) Delta + rho E[omega|c].
+
+    ``wtoe_builder_x`` is the training-point array (the weighted Toeplitz is
+    rebuilt inside each iteration since Delta changes).
+    """
+    rdtype = kappa.dtype
+    cdtype = spectral.ws.dtype
+    n = kappa.shape[0]
+    n_probes = probes.shape[0]
+    x = wtoe_builder_x
+
+    def body(carry, it):
+        delta, _, _, _ = carry
+        wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
+                                             delta.astype(cdtype),
+                                             cdtype=cdtype)
+        Z = jnp.concatenate([kappa[None, :], probes], axis=0)
+        rhs = spectral.ws[None, :] * spectral.nufft.type1(Z.astype(cdtype)
+                                                          ).reshape(Z.shape[0], -1)
+
+        def A_feat(u):
+            return u + spectral.ws * wtoe(spectral.ws * u)
+
+        res = pcg(A_feat, rhs, tol=cg_tol, maxiter=max_cg_iter)
+        S_all = spectral.nufft.type2(spectral.ws[None, :] * res.x).real
+        mean = S_all[0]
+        Sz = S_all[1:]
+        sigma_diag = jnp.mean(probes * Sz, axis=0) if n_probes > 0 \
+            else jnp.zeros_like(mean)
+        c = jnp.sqrt(jnp.maximum(sigma_diag + mean**2, 1e-12))
+        Lam = pg_omega_expectation(c, pg_b)
+        rho = rho0 / (1.0 + gamma * it)
+        delta_new = jnp.maximum((1.0 - rho) * delta + rho * Lam, 0.0)
+        residual = jnp.max(jnp.abs(delta_new - Lam))
+        return (delta_new, mean, sigma_diag, res.iters), residual
+
+    carry = (delta0, jnp.zeros((n,), rdtype), jnp.zeros((n,), rdtype),
+             jnp.asarray(0, jnp.int32))
+    residual = jnp.asarray(jnp.inf, rdtype)
+    for it in range(max_iters):   # e_step_iters is small (default 1)
+        carry, residual = body(carry, it)
+    delta, mean, sigma_diag, iters = carry
+    return EstepResult(delta=delta, mean=mean, sigma_diag=sigma_diag,
+                       residual=residual, cg_iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# M-step
+# ---------------------------------------------------------------------------
+
+class MstepResult(NamedTuple):
+    grad: jnp.ndarray        # (H,) d ELBO / d (lengthscale, variance)
+    term1: jnp.ndarray
+    term2: jnp.ndarray
+    beta_mean: jnp.ndarray
+    cg_iters: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
+def mstep_gradient(spectral: PGSpectralState, x, delta, kappa, probes, *,
+                   cg_tol: float, max_cg_iter: int = 2000) -> MstepResult:
+    """Stochastic M-step gradient wrt (lengthscale, variance)
+    (reference _compute_mstep_gradient, pg_classifier.py:585-631):
+
+      term1 = Dprime^T |beta_kappa|^2            (data-fit pull)
+      term2 = E_probes Re[(conj(F* Omega z) . beta_z)^T Dprime]  (trace)
+      grad  = 0.5 (term1 - term2),   ascent direction for the ELBO.
+    """
+    cdtype = spectral.ws.dtype
+    wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
+                                         delta.astype(cdtype), cdtype=cdtype)
+    solve = _feature_solver(spectral, wtoe, cg_tol=cg_tol,
+                            max_cg_iter=max_cg_iter)
+    n_probes = probes.shape[0]
+    pz = probes.astype(cdtype)
+    Q = spectral.nufft.type1(pz).reshape(n_probes, -1)
+    q_y = spectral.nufft.type1(kappa.astype(cdtype)).reshape(-1)
+    Q_all = jnp.concatenate([Q, q_y[None, :]], axis=0)
+    beta_all, iters = solve(Q_all)
+    beta_probes = beta_all[:-1]
+    beta_k = beta_all[-1]
+
+    Rfeat = spectral.nufft.type1((delta.astype(cdtype) * pz)
+                                 ).reshape(n_probes, -1)
+    vals = jnp.real((jnp.conj(Rfeat) * beta_probes) @ spectral.Dprime)
+    term2 = jnp.mean(vals, axis=0)
+    term1 = jnp.real(spectral.Dprime).T @ jnp.abs(beta_k) ** 2
+    grad = 0.5 * (term1 - term2)
+    return MstepResult(grad=grad, term1=term1, term2=term2,
+                       beta_mean=beta_k, cg_iters=iters)
+
+
+@partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
+def solve_beta_mean(spectral: PGSpectralState, x, delta, kappa, *,
+                    cg_tol: float, max_cg_iter: int = 2000):
+    """Posterior-mean feature weights (reference _solve_beta_mean,
+    pg_classifier.py:634-650)."""
+    cdtype = spectral.ws.dtype
+    wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
+                                         delta.astype(cdtype), cdtype=cdtype)
+    solve = _feature_solver(spectral, wtoe, cg_tol=cg_tol,
+                            max_cg_iter=max_cg_iter)
+    q_y = spectral.nufft.type1(kappa.astype(cdtype)).reshape(-1)
+    beta, iters = solve(q_y[None, :])
+    return beta[0], iters
+
+
+# ---------------------------------------------------------------------------
+# predictions
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def predictive_mean(spectral: PGSpectralState, x_new, beta_mean):
+    """Latent predictive mean F_new (ws2 beta) (reference _predictive_mean,
+    pg_classifier.py:653-668)."""
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    op = make_nufft(x_new, spectral.h, spectral.mtot,
+                    cdtype=spectral.ws.dtype)
+    return op.type2((spectral.ws2 * beta_mean)
+                    .reshape((spectral.mtot,) * spectral.d)).real
+
+
+@partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
+def predictive_variance_exact(spectral: PGSpectralState, x, delta, x_new, *,
+                              cg_tol: float, max_cg_iter: int = 2000):
+    """Exact per-target latent variance: phi^H ws2 A^{-1} phi with the
+    symmetrized solver (reference _predictive_latent_moments,
+    pg_classifier.py:671-739)."""
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    cdtype = spectral.ws.dtype
+    wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
+                                         delta.astype(cdtype), cdtype=cdtype)
+    solve = _feature_solver(spectral, wtoe, cg_tol=cg_tol,
+                            max_cg_iter=max_cg_iter)
+    from .efgp import posterior_fourier_rows
+    phi = jnp.conj(posterior_fourier_rows(x_new, spectral.h, spectral.mtot,
+                                          spectral.d))
+    beta, _ = solve(phi)
+    return jnp.maximum(
+        jnp.real(jnp.sum(jnp.conj(phi) * (spectral.ws2[None, :] * beta),
+                         axis=1)), 0.0)
+
+
+@partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
+def stochastic_variance_sums(spectral: PGSpectralState, x, delta, etas, *,
+                             cg_tol: float, max_cg_iter: int = 2000):
+    """Hutchinson lag sums for the stochastic predictive variance
+    (reference _estimate_stochastic_variance_sums,
+    pg_classifier.py:767-811)."""
+    cdtype = spectral.ws.dtype
+    wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
+                                         delta.astype(cdtype), cdtype=cdtype)
+    solve = _feature_solver(spectral, wtoe, cg_tol=cg_tol,
+                            max_cg_iter=max_cg_iter)
+    J = etas.shape[0]
+    beta, _ = solve(etas.astype(cdtype))
+    gammas = spectral.ws2[None, :] * beta
+    mtot, d = spectral.mtot, spectral.d
+    shape = (J,) + (mtot,) * d
+    s_size = (2 * mtot - 1,) * d
+    axes = tuple(range(1, d + 1))
+    G = jnp.fft.fftn(gammas.reshape(shape), s=s_size, axes=axes)
+    E = jnp.fft.fftn(etas.reshape(shape).astype(G.dtype), s=s_size,
+                     axes=axes)
+    return jnp.mean(jnp.fft.ifftn(G * jnp.conj(E), s=s_size, axes=axes),
+                    axis=0)
+
+
+@jax.jit
+def evaluate_variance_sums(spectral: PGSpectralState, est_sums, x_new):
+    """FFT-ordered type-2 evaluation of the lag sums at targets (reference
+    _evaluate_stochastic_variance_sums, pg_classifier.py:814-837)."""
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    op = make_nufft(x_new, spectral.h, 2 * spectral.mtot - 1,
+                    cdtype=spectral.ws.dtype, fft_order=True)
+    return jnp.maximum(op.type2(est_sums).real, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-interpolated variance
+# ---------------------------------------------------------------------------
+
+def chebyshev_lobatto_nodes(a: float, b: float, n_nodes: int):
+    """Chebyshev-Lobatto nodes + barycentric weights on [a, b]
+    (reference _chebyshev_lobatto_nodes, pg_classifier.py:879-891)."""
+    if n_nodes < 2:
+        raise ValueError("chebyshev nodes must be at least 2.")
+    k = np.arange(n_nodes, dtype=np.float64)
+    nodes_std = np.cos(np.pi * k / (n_nodes - 1))
+    weights = np.ones(n_nodes)
+    weights[0] = 0.5
+    weights[-1] = 0.5
+    weights *= (-1.0) ** k
+    nodes = 0.5 * (a + b) + 0.5 * (b - a) * nodes_std
+    scale = 2.0 / (b - a) if b > a else 1.0
+    order = np.argsort(nodes)
+    return nodes[order], (weights * scale)[order]
+
+
+def barycentric_matrix(nodes, weights, targets, *, atol: float = 1e-14):
+    """Barycentric interpolation matrix rows (reference
+    _barycentric_interpolation_matrix, pg_classifier.py:894-920)."""
+    nodes = np.asarray(nodes, np.float64)
+    weights = np.asarray(weights, np.float64)
+    targets = np.asarray(targets, np.float64)
+    diff = targets[:, None] - nodes[None, :]
+    mat = np.empty((targets.size, nodes.size))
+    close = np.isclose(diff, 0.0, atol=atol, rtol=0.0)
+    matched = close.any(axis=1)
+    if np.any(matched):
+        idx = np.argmax(close[matched], axis=1)
+        mat[matched] = 0.0
+        mat[np.where(matched)[0], idx] = 1.0
+    un = ~matched
+    if np.any(un):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = weights[None, :] / diff[un]
+        mat[un] = raw / raw.sum(axis=1, keepdims=True)
+    return mat
+
+
+def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
+                                  x_new, *, n_nodes_per_dim: int,
+                                  cg_tol: float, max_cg_iter: int = 2000):
+    """Variance on a Chebyshev-Lobatto tensor grid, barycentric-interpolated
+    to targets (reference _predictive_variance_chebyshev,
+    pg_classifier.py:945-1009).  Cost: exact variance at n_nodes^d points
+    instead of n_targets."""
+    x_new = np.asarray(x_new)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    d = x_new.shape[1]
+    axes_nodes, mats = [], []
+    for dim in range(d):
+        coord = x_new[:, dim]
+        lo, hi = float(coord.min()), float(coord.max())
+        if np.isclose(lo, hi):
+            pad = max(abs(lo), 1.0) * 1e-6
+            lo, hi = lo - pad, hi + pad
+        nodes, weights = chebyshev_lobatto_nodes(lo, hi, n_nodes_per_dim)
+        mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord)))
+        axes_nodes.append(nodes)
+    mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
+    node_var = predictive_variance_exact(
+        spectral, x, delta, jnp.asarray(mesh, dtype=jnp.asarray(x).dtype),
+        cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+    node_grid = node_var.reshape((n_nodes_per_dim,) * d)
+    letters = "abcdefghij"[:d]
+    expr = (",".join(f"n{c}" for c in letters) + "," + letters + "->n")
+    interp = jnp.einsum(expr, *[m.astype(node_grid.dtype) for m in mats],
+                        node_grid)
+    return jnp.maximum(interp, 0.0)

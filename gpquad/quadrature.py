@@ -189,6 +189,20 @@ def bucket_mtot(mtot: int, minimum: int = 9) -> int:
     return rung
 
 
+@partial(jax.jit, static_argnames=("mtot_pad", "d", "dtype"))
+def flat_grid_mask(mtot_pad: int, d: int, hm, dtype=jnp.float32):
+    """Flat d-dim active-node mask for a padded tensor grid: the product of
+    per-dimension 1-D masks, shape ``(mtot_pad**d,)``.  Jitted so the
+    per-training-step mask build is one dispatch."""
+    m_pad = (mtot_pad - 1) // 2
+    j = jnp.abs(jnp.arange(-m_pad, m_pad + 1))
+    mask1 = (j <= hm).astype(dtype)
+    out = mask1
+    for _ in range(d - 1):
+        out = (out[:, None] * mask1[None, :]).reshape(-1)
+    return out
+
+
 def padded_grid_mask(mtot_pad: int, hm, h, dtype=None):
     """Static-shape grid of ``mtot_pad`` nodes with an active-node mask.
 
