@@ -96,6 +96,8 @@ def gradient_with_grid(
     T = trace_samples
 
     # --- stage 1: frequency grid, weights, density gradients ---------------
+    # named scopes mirror the reference stage taxonomy (efgpnd.py:61-289)
+    scope = jax.named_scope
     m = (mtot - 1) // 2
     xis_1d = jnp.arange(-m, m + 1, dtype=rdtype) * h
     xis = tensor_grid(xis_1d, d)

@@ -68,6 +68,12 @@ def pcg(A: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None, *,
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
+    with jax.named_scope("4_solve_cg" if b.shape[0] == 1 else "7_batch_cg_solve"):
+        return _pcg_body(Ab, b, x0, Mb, tol, maxiter, early_stopping, single)
+
+
+def _pcg_body(Ab, b, x0, Mb, tol, maxiter, early_stopping, single):
+    B, n = b.shape
     x = x0.astype(b.dtype)
     r = b - Ab(x)
     z = Mb(r) if Mb is not None else r

@@ -77,9 +77,10 @@ class NUFFT:
 
         ``vals``: (N,) or (B, N); returns (mtot,)*d or (B,) + (mtot,)*d.
         """
-        if vals.ndim == 1:
-            return self._type1_single(vals)
-        return jax.vmap(self._type1_single)(vals)
+        with jax.named_scope("nufft_type1"):
+            if vals.ndim == 1:
+                return self._type1_single(vals)
+            return jax.vmap(self._type1_single)(vals)
 
     def _type1_single(self, vals):
         cdtype = self.phases[0].dtype
@@ -109,6 +110,10 @@ class NUFFT:
         ``fk``: flat (M,) / block (mtot,)*d, or batched with a leading dim;
         returns (N,) or (B, N).
         """
+        with jax.named_scope("nufft_type2"):
+            return self._type2(fk)
+
+    def _type2(self, fk: jnp.ndarray) -> jnp.ndarray:
         shape_block = (self.mtot,) * self.d
         M = self.mtot ** self.d
         if fk.ndim >= 1 and fk.shape == (M,):

@@ -62,6 +62,10 @@ class ToeplitzND:
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Apply T to ``x`` with trailing flat (M,) or block ``ns`` layout;
         any leading dims are batch."""
+        with jax.named_scope("toeplitz_matvec"):
+            return self._apply(x)
+
+    def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.d
         flat = x.shape[-1] == self.size and (
             x.ndim < d or tuple(x.shape[-d:]) != tuple(self.ns))
