@@ -57,6 +57,7 @@ class FitState:
     sigmasq: jnp.ndarray       # scalar noise variance
     toeplitz: ToeplitzND       # Gram operator F*F
     mean_cg_iters: jnp.ndarray
+    diag_scale: jnp.ndarray = 1.0   # Toeplitz zero-lag (= n), Jacobi scale
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
     d: int = dataclasses.field(metadata={"static": True}, default=1)
 
@@ -73,7 +74,8 @@ class FitState:
 
 jax.tree_util.register_dataclass(
     FitState,
-    data_fields=["beta", "ws", "h", "sigmasq", "toeplitz", "mean_cg_iters"],
+    data_fields=["beta", "ws", "h", "sigmasq", "toeplitz", "mean_cg_iters",
+                 "diag_scale"],
     meta_fields=["mtot", "d"],
 )
 
@@ -153,7 +155,7 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
               M_inv=M_inv)
     return FitState(beta=res.x, ws=ws, h=h, sigmasq=sigmasq,
                     toeplitz=toeplitz, mean_cg_iters=res.iters,
-                    mtot=mtot, d=d)
+                    diag_scale=toeplitz_diag_scale(v), mtot=mtot, d=d)
 
 
 def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
@@ -206,6 +208,17 @@ def posterior_fourier_rows(x_new, h, mtot: int, d: int):
     raise NotImplementedError("d <= 3")
 
 
+def _var_precond(state: FitState):
+    """Jacobi preconditioner for A_var = A_mean / sigma^2 (the reference's
+    variance CG runs unpreconditioned, efgpnd.py:1648-1655, 1813-1816; the
+    CSV baselines show 2.5-6x iteration cuts from the diagonal)."""
+    diag = (state.diag_scale * jnp.abs(state.ws) ** 2 / state.sigmasq + 1.0)
+
+    def M_inv(v):
+        return v / diag.astype(v.dtype)
+    return M_inv
+
+
 @partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter", "microbatch"))
 def _variance_regular(state: FitState, x_new, *, cg_tol, max_cg_iter,
                       microbatch: int = 8192) -> jnp.ndarray:
@@ -217,10 +230,12 @@ def _variance_regular(state: FitState, x_new, *, cg_tol, max_cg_iter,
     if pad:
         x_new = jnp.concatenate([x_new, x_new[-1:].repeat(pad, axis=0)], axis=0)
 
+    M_inv = _var_precond(state)
+
     def one_batch(xb):
         fx = posterior_fourier_rows(xb, state.h, state.mtot, state.d)
         rhs = state.ws * jnp.conj(fx)
-        res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter)
+        res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
         return jnp.maximum(jnp.real(jnp.sum(fx * (state.ws * res.x), axis=-1)),
                            0.0)
 
@@ -247,7 +262,8 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     etas = (jax.random.bernoulli(key, 0.5, (probes, M)) * 2 - 1).astype(rdtype)
     A_var = make_A_var(state.ws, state.toeplitz, state.sigmasq)
     rhs = state.ws[None, :] * etas
-    res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter)
+    res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter,
+              M_inv=_var_precond(state))
     gammas = state.ws[None, :] * res.x
 
     shape = (probes,) + (mtot,) * d
@@ -264,12 +280,48 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     return nufft.type2(est_sums).real
 
 
+def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
+                        cg_tol, max_cg_iter) -> jnp.ndarray:
+    """Chebyshev-Lobatto tensor-grid variance, barycentric-interpolated to
+    the targets.
+
+    Generalizes the PG module's third variance mode
+    (reference pg_classifier.py:879-1009) to EFGP regression, per SURVEY
+    §7-S5: the posterior variance is a smooth function of the target
+    location, so the exact per-target solves run only at
+    ``n_nodes_per_dim^d`` Chebyshev nodes and targets interpolate — for
+    10k 2-D targets this cuts the CG batch ~25x at ~1e-3 accuracy.
+    """
+    from .pg_core import barycentric_matrix, chebyshev_lobatto_nodes
+    xh = np.asarray(x_new)
+    d = xh.shape[1]
+    axes_nodes, mats = [], []
+    for dim in range(d):
+        coord = xh[:, dim]
+        lo, hi = float(coord.min()), float(coord.max())
+        if np.isclose(lo, hi):
+            pad = max(abs(lo), 1.0) * 1e-6
+            lo, hi = lo - pad, hi + pad
+        nodes, weights = chebyshev_lobatto_nodes(lo, hi, n_nodes_per_dim)
+        mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord),
+                                dtype=x_new.dtype))
+        axes_nodes.append(nodes)
+    mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
+    node_var = _variance_regular(state, jnp.asarray(mesh, x_new.dtype),
+                                 cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+    node_grid = node_var.reshape((n_nodes_per_dim,) * d)
+    letters = "abcdefghij"[:d]
+    expr = ",".join(f"n{c}" for c in letters) + "," + letters + "->n"
+    return jnp.maximum(jnp.einsum(expr, *mats, node_grid), 0.0)
+
+
 def predict_var(state: FitState, x_new, *, method: str = "stochastic",
                 key=None, probes: int = 1000, cg_tol: float = 1e-4,
-                max_cg_iter: int = 1000, microbatch: int = 8192
-                ) -> jnp.ndarray:
+                max_cg_iter: int = 1000, microbatch: int = 8192,
+                chebyshev_nodes: int = 20) -> jnp.ndarray:
     """Posterior variance dispatch (reference compute_prediction_variance,
-    efgpnd.py:1761-1841)."""
+    efgpnd.py:1761-1841, plus the Chebyshev mode generalized from the PG
+    module)."""
     if x_new.ndim == 1:
         x_new = x_new[:, None]
     method = method.lower()
@@ -282,6 +334,10 @@ def predict_var(state: FitState, x_new, *, method: str = "stochastic",
             key = jax.random.PRNGKey(0)
         return _variance_stochastic(state, x_new, key, probes=probes,
                                     cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+    if method == "chebyshev":
+        return _variance_chebyshev(state, x_new,
+                                   n_nodes_per_dim=chebyshev_nodes,
+                                   cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     raise ValueError(
-        f"Variance method '{method}' not implemented. Choose 'regular' or "
-        f"'stochastic'.")
+        f"Variance method '{method}' not implemented. Choose 'regular', "
+        f"'stochastic' or 'chebyshev'.")

@@ -148,6 +148,20 @@ def test_variance_stochastic_approximates_regular(rng):
     assert np.max(np.abs(var_sto - var_reg)) < 0.1 * np.max(var_reg)
 
 
+def test_variance_chebyshev_matches_regular(rng):
+    """Chebyshev-interpolated variance (generalized from the PG module)
+    approximates the exact per-target path on a smooth variance field."""
+    kernel = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=1)
+    x, y = make_data(rng, n=120, d=1, lengthscale=0.3, variance=1.0)
+    state = fit(x, y, kernel, 0.1, 1e-4, cg_tol=1e-10)
+    xnew = jnp.linspace(0.1, 0.9, 50)[:, None]
+    v_reg = np.asarray(predict_var(state, xnew, method="regular",
+                                   cg_tol=1e-10))
+    v_cheb = np.asarray(predict_var(state, xnew, method="chebyshev",
+                                    chebyshev_nodes=24, cg_tol=1e-10))
+    assert np.max(np.abs(v_cheb - v_reg)) < 2e-3 * np.max(v_reg)
+
+
 def test_2d_mean_and_variance(rng):
     kernel = SquaredExponential(lengthscale=0.4, variance=1.0, dimension=2)
     x, y = make_data(rng, n=200, d=2, lengthscale=0.4, variance=1.0)
