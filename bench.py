@@ -1,9 +1,15 @@
 """Headline benchmark: n=1e5 2-D EFGP fit + predict + hyper-gradient step.
 
-North star (BASELINE.md): posterior mean + posterior variance + one
-hyperparameter-gradient step at n=1e5, d=2 in < 1 s on one TPU v5e chip,
-with eps=1e-6 quadrature and agreement against the dense solve of the same
-objective (computed in f64 on the CPU backend).
+North star (BASELINE.md): posterior mean (10k targets) + posterior
+variance + one hyperparameter-gradient step at n=1e5, d=2 in < 1 s on one
+TPU v5e chip, with eps=1e-6 quadrature, checked against the f64 dense
+solve of the same objective.
+
+The headline path is the fused single-program pipeline
+(gpquad.models.pipeline.fit_predict_grad).  Timing forces a scalar host
+read per measurement: on the remote-TPU (axon) runtime
+``block_until_ready`` does NOT synchronize, so naive timers only measure
+the enqueue.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": value/1.0}
@@ -32,8 +38,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from gpquad.kernels import SquaredExponential
-    from gpquad.models.efgp import (fit_with_grid, predict_mean, predict_var)
+    from gpquad.models.efgp import fit_with_grid, predict_mean, predict_var
     from gpquad.models.gradient import gradient_with_grid
+    from gpquad.models.pipeline import fit_predict_grad
     from gpquad.quadrature import spectral_grid
 
     rng = np.random.default_rng(0)
@@ -53,51 +60,55 @@ def main():
     _, h, mtot = spectral_grid(kernel, eps, 1.0)
     key = jax.random.PRNGKey(0)
 
-    def one_pass():
-        state = fit_with_grid(x, y, kernel, sigmasq, h, mtot,
-                              cg_tol=1e-6, max_cg_iter=1000)
-        mean = predict_mean(state, xnew)
-        var = predict_var(state, xnew, method="stochastic", key=key,
-                          probes=args.probes, cg_tol=1e-4, max_cg_iter=1000)
-        grad = gradient_with_grid(x, y, kernel, sigmasq, h, key, mtot=mtot,
-                                  trace_samples=args.trace_samples,
-                                  cg_tol=1e-4, max_cg_iter=1000)
-        return state, mean, var, grad
+    def sync(*arrays):
+        """Force completion: scalar reduce + host read (axon-safe)."""
+        total = 0.0
+        for a in jax.tree_util.tree_leaves(arrays):
+            if hasattr(a, "dtype"):
+                total += float(jnp.sum(jnp.abs(jnp.real(a))))
+        return total
 
-    # warmup/compile
+    def fused():
+        return fit_predict_grad(
+            x, y, xnew, kernel, sigmasq, h, key, mtot=mtot,
+            trace_samples=args.trace_samples, var_probes=args.probes,
+            cg_tol=1e-6, var_cg_tol=1e-4, grad_cg_tol=1e-4,
+            max_cg_iter=1000, var_max_cg_iter=400)
+
     t0 = time.time()
-    state, mean, var, grad = jax.block_until_ready(one_pass())
+    out = fused()
+    sync(out.mean, out.var, out.grad)
     compile_s = time.time() - t0
 
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        state, mean, var, grad = jax.block_until_ready(one_pass())
+        out = fused()
+        sync(out.mean, out.var, out.grad)
         times.append(time.time() - t0)
     total = min(times)
 
-    # component timings (warm)
-    t0 = time.time()
-    state = jax.block_until_ready(
-        fit_with_grid(x, y, kernel, sigmasq, h, mtot, cg_tol=1e-6,
-                      max_cg_iter=1000))
-    t_fit = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(predict_mean(state, xnew))
-    t_mean = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(
-        predict_var(state, xnew, method="stochastic", key=key,
-                    probes=args.probes, cg_tol=1e-4, max_cg_iter=1000))
-    t_var = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(
-        gradient_with_grid(x, y, kernel, sigmasq, h, key, mtot=mtot,
-                           trace_samples=args.trace_samples, cg_tol=1e-4,
-                           max_cg_iter=1000))
-    t_grad = time.time() - t0
+    # component timings (separate dispatches, warmed, float-synced)
+    def timed(fn, *fargs, **fkw):
+        sync(fn(*fargs, **fkw))           # warm / compile
+        t0 = time.time()
+        out = fn(*fargs, **fkw)
+        sync(out)
+        return time.time() - t0, out
 
-    out = {
+    t_fit, state = timed(fit_with_grid, x, y, kernel, sigmasq, h, mtot,
+                         cg_tol=1e-6, max_cg_iter=1000)
+    t_mean, mean = timed(predict_mean, state, xnew)
+    t_var, var = timed(predict_var, state, xnew, method="stochastic",
+                       key=key, probes=args.probes, cg_tol=1e-4,
+                       max_cg_iter=400)
+    t_var_cheb, vc = timed(predict_var, state, xnew, method="chebyshev",
+                           chebyshev_nodes=20, cg_tol=1e-5, max_cg_iter=600)
+    t_grad, gres = timed(gradient_with_grid, x, y, kernel, sigmasq, h, key,
+                         mtot=mtot, trace_samples=args.trace_samples,
+                         cg_tol=1e-4, max_cg_iter=1000)
+
+    out_json = {
         "metric": "efgp_fit_predict_grad_n1e5_2d_seconds",
         "value": round(total, 4),
         "unit": "s",
@@ -106,47 +117,43 @@ def main():
         "M": int(mtot) ** d, "targets": args.targets,
         "probes": args.probes, "trace_samples": args.trace_samples,
         "fit_s": round(t_fit, 4), "mean_s": round(t_mean, 4),
-        "var_s": round(t_var, 4), "grad_s": round(t_grad, 4),
+        "var_stochastic_s": round(t_var, 4),
+        "var_chebyshev_s": round(t_var_cheb, 4),
+        "grad_s": round(t_grad, 4),
         "compile_s": round(compile_s, 2),
-        "mean_cg_iters": int(state.mean_cg_iters),
+        "mean_cg_iters": int(out.mean_cg_iters),
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
 
     if not args.skip_accuracy:
         # f64 dense solve of the SAME objective on CPU (A beta = D F* y)
-        from gpquad.models.efgp import tensor_grid
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            M = mtot ** d
-            m = (mtot - 1) // 2
-            k1 = np.arange(-m, m + 1)
-            K = np.stack(np.meshgrid(k1, k1, indexing="ij"), -1).reshape(-1, d)
-            sub = slice(0, min(n, 200_000))
-            F = np.exp(2j * np.pi * (xh @ (h * K.T)))
-            xis = (h * K).astype(np.float64)
-            S = np.asarray(
-                SquaredExponential(lengthscale=args.lengthscale,
-                                   variance=1.0, dimension=d)
-                .spectral_density(jnp.asarray(xis)))
-            ws = np.sqrt(S * h**d)
-            A = (ws[:, None] * (F.conj().T @ F) * ws[None, :]
-                 + sigmasq * np.eye(M))
-            beta64 = np.linalg.solve(A, ws * (F.conj().T @ yh))
-        beta32 = np.asarray(jnp.real(state.beta)) \
-            + 1j * np.asarray(jnp.imag(state.beta))
-        rel_beta = float(np.linalg.norm(beta32 - beta64)
-                         / np.linalg.norm(beta64))
-        # posterior-mean agreement at the first 2000 targets
+        M = mtot ** d
+        m = (mtot - 1) // 2
+        k1 = np.arange(-m, m + 1)
+        K = np.stack(np.meshgrid(k1, k1, indexing="ij"), -1).reshape(-1, d)
+        F = np.exp(2j * np.pi * (xh @ (h * K.T)))
+        xis = (h * K).astype(np.float64)
+        l2 = args.lengthscale**2
+        S = (2 * np.pi * l2) * np.exp(
+            -2 * np.pi**2 * l2 * np.sum(xis**2, axis=1))
+        ws = np.sqrt(S * h**d)
+        A = (ws[:, None] * (F.conj().T @ F) * ws[None, :]
+             + sigmasq * np.eye(M))
+        beta64 = np.linalg.solve(A, ws * (F.conj().T @ yh))
         xt = np.asarray(xnew[:2000], dtype=np.float64)
         Ft = np.exp(2j * np.pi * (xt @ (h * K.T)))
         mean64 = np.real(Ft @ (ws * beta64))
         mean32 = np.asarray(mean)[:2000]
-        out["rel_err_beta_vs_dense_f64"] = round(rel_beta, 8)
-        out["max_err_mean_vs_dense_f64"] = round(
+        out_json["max_err_mean_vs_dense_f64"] = round(
             float(np.max(np.abs(mean32 - mean64))), 8)
+        # variance accuracy vs dense (chebyshev vs f64 'regular' formula)
+        G64 = np.linalg.solve(A / sigmasq, (ws * Ft[:500].conj()).T).T
+        var64 = np.maximum(np.real(np.sum(Ft[:500] * (ws * G64), -1)), 0)
+        out_json["max_err_var_cheb_vs_dense_f64"] = round(
+            float(np.max(np.abs(np.asarray(vc)[:500] - var64))), 8)
 
-    print(json.dumps(out))
+    print(json.dumps(out_json))
 
 
 if __name__ == "__main__":

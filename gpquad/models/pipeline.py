@@ -1,0 +1,91 @@
+"""Fused EFGP pipeline: fit + predict + hyper-gradient in ONE program.
+
+The facade calls (fit, predict_mean, predict_var, gradient) each dispatch
+their own XLA program.  For serving and for the headline benchmark the
+whole pass compiles into a single program here: XLA then shares the grid
+setup, NUFFT phase factors, convolution vector and Toeplitz spectrum
+across stages, overlaps independent solves, and the host pays one
+dispatch instead of ~8 (material on remote-TPU links with ~25 ms
+round-trip latency).
+
+This composition has no reference analogue (the reference executes
+eagerly); it is pure re-plumbing of the audited stage functions.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cg import pcg
+from ..ops.nufft import make_nufft
+from ..ops.operators import (convolution_vector, make_A_mean,
+                             make_jacobi_precond)
+from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
+from .efgp import (FitState, _cdtype, _variance_stochastic, predict_mean,
+                   quadrature_weights, tensor_grid)
+from .gradient import gradient_with_grid
+
+__all__ = ["FusedResult", "fit_predict_grad"]
+
+
+class FusedResult(NamedTuple):
+    mean: jnp.ndarray          # (B,) posterior mean at targets
+    var: jnp.ndarray           # (B,) posterior variance at targets
+    grad: jnp.ndarray          # (H+1,) NLL gradient wrt positive hypers
+    beta: jnp.ndarray          # (M,) mean-solve weights
+    mean_cg_iters: jnp.ndarray
+    trace_cg_iters: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=(
+    "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
+    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter"))
+def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
+                     trace_samples: int = 10, var_probes: int = 256,
+                     cg_tol: float = 1e-6, var_cg_tol: float = 1e-4,
+                     grad_cg_tol: float = 1e-4, max_cg_iter: int = 1000,
+                     var_max_cg_iter: Optional[int] = None,
+                     ws_mask=None) -> FusedResult:
+    """One compiled pass: mean fit + target mean/variance + one
+    hyper-gradient evaluation (the BASELINE.md north-star workload)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    rdtype = x.dtype
+    cdtype = _cdtype(rdtype)
+    h = jnp.asarray(h, rdtype)
+    sigmasq = jnp.asarray(sigmasq, rdtype)
+
+    # shared grid artifacts (XLA CSEs these against the gradient stage)
+    m = (mtot - 1) // 2
+    xis = tensor_grid(jnp.arange(-m, m + 1, dtype=rdtype) * h, d)
+    ws = quadrature_weights(kernel, xis, h, d, mask=ws_mask)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype)
+    v = convolution_vector(m, x, h)
+    toeplitz = make_toeplitz(v)
+    diag_scale = toeplitz_diag_scale(v)
+    A_mean = make_A_mean(ws, toeplitz, sigmasq)
+    M_inv = make_jacobi_precond(ws, sigmasq, diag_scale=diag_scale)
+
+    rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
+    res_mean = pcg(A_mean, rhs, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
+    state = FitState(beta=res_mean.x, ws=ws, h=h, sigmasq=sigmasq,
+                     toeplitz=toeplitz, mean_cg_iters=res_mean.iters,
+                     diag_scale=diag_scale, mtot=mtot, d=d)
+
+    mean = predict_mean(state, xnew)
+    kv, kg = jax.random.split(key)
+    var = _variance_stochastic(
+        state, xnew, kv, probes=var_probes, cg_tol=var_cg_tol,
+        max_cg_iter=var_max_cg_iter if var_max_cg_iter is not None
+        else max_cg_iter)
+    gres = gradient_with_grid(x, y, kernel, sigmasq, h, kg, mtot=mtot,
+                              trace_samples=trace_samples,
+                              cg_tol=grad_cg_tol, max_cg_iter=max_cg_iter,
+                              beta0=res_mean.x, ws_mask=ws_mask)
+    return FusedResult(mean=mean, var=var, grad=gres.grad, beta=res_mean.x,
+                       mean_cg_iters=res_mean.iters,
+                       trace_cg_iters=gres.trace_cg_iters)

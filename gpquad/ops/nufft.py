@@ -42,12 +42,25 @@ def _complex_dtype(real_dtype):
 def _phase_matrix(t, k, cdtype):
     """E[n, j] = exp(-2 pi i t_n k_j) for t = h * x[:, dim].
 
-    The angle is range-reduced before the float32 multiply: with
-    u = t mod 1 in [-1/2, 1/2) the product u * k stays small, keeping the
-    absolute phase error near f32 rounding even for large-domain inputs.
+    The angle is range-reduced and the product u * k is computed with a
+    Dekker two-product compensation: in f32 the naive product carries
+    ~|k| * 2^-24 cycles of error (~1e-5 rad at mtot ~ 100), which caps
+    posterior-mean accuracy near 1e-3; the compensated path recovers the
+    lost low bits (k and the 12-bit split halves of u multiply exactly),
+    bringing the phase error to f32 rounding of the *reduced* angle.
+    In f64 (CPU oracle runs) the same code is exact to ~1e-15.
     """
     u = t - jnp.round(t)                       # fold onto the unit torus
-    cycles = u[:, None] * k[None, :]
+    p = u[:, None] * k[None, :]
+    # Dekker split of u into 12-bit halves; k (integer, < 2^12) times each
+    # half is exact in f32
+    c = jnp.asarray(4097.0, u.dtype)           # 2^12 + 1
+    u_big = u * c
+    u_hi = u_big - (u_big - u)
+    u_lo = u - u_hi
+    err = (u_hi[:, None] * k[None, :] - p) + u_lo[:, None] * k[None, :]
+    cycles = p - jnp.round(p)
+    cycles = (cycles + err)
     cycles = cycles - jnp.round(cycles)        # keep |angle| <= pi
     ang = (-2.0 * jnp.pi) * cycles
     return lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(cdtype)
@@ -85,11 +98,42 @@ class NUFFT:
     def _type1_single(self, vals):
         cdtype = self.phases[0].dtype
         v = vals.astype(cdtype)
+        n = v.shape[0]
+        # Two-stage chunked accumulation: a single length-N f32 MXU
+        # contraction accumulates ~sqrt(N) * 2^-24 relative error (a ~1e-5
+        # perturbation of the Gram system at n=1e5, worth ~1e-3 in the
+        # posterior mean).  Summing ~2k-point partials then reducing the
+        # partials cuts the random walk ~30-60x; in f64 it is a no-op.
+        chunk = 2048
+        chunked = cdtype == jnp.complex64 and n >= 4 * chunk
+        n_head = (n // chunk) * chunk if chunked else 0
         if self.d == 1:
             (e1,) = self.phases
+            if chunked:
+                partial = jnp.einsum(
+                    "cn,cnj->cj", v[:n_head].reshape(-1, chunk),
+                    e1[:n_head].reshape(-1, chunk, e1.shape[1]),
+                    precision=_HIGHEST)
+                out = jnp.sum(partial, axis=0)
+                if n_head < n:
+                    out = out + jnp.einsum("n,nj->j", v[n_head:],
+                                           e1[n_head:], precision=_HIGHEST)
+                return out
             return jnp.einsum("n,nj->j", v, e1, precision=_HIGHEST)
         if self.d == 2:
             e1, e2 = self.phases
+            if chunked:
+                m = self.mtot
+                w = (e1[:n_head] * v[:n_head, None]).reshape(-1, chunk, m)
+                partial = jnp.einsum(
+                    "cnj,cnk->cjk", w,
+                    e2[:n_head].reshape(-1, chunk, m), precision=_HIGHEST)
+                out = jnp.sum(partial, axis=0)
+                if n_head < n:
+                    out = out + jnp.matmul(
+                        (e1[n_head:] * v[n_head:, None]).T, e2[n_head:],
+                        precision=_HIGHEST)
+                return out
             # (mtot, N) @ (N, mtot): one MXU matmul
             return jnp.matmul((e1 * v[:, None]).T, e2, precision=_HIGHEST)
         if self.d == 3:

@@ -1,0 +1,213 @@
+"""Fused Pallas NUFFT kernels (TPU hard-part #1, SURVEY §7).
+
+The default MXU path (ops/nufft.py) materializes per-dimension phase
+matrices ``E_t in C^{N x mtot}`` in HBM — ~1.6 GB at n=1e6, mtot=100.
+These Pallas kernels compute the phases **on the fly in VMEM**, tile by
+tile, and fuse the transcendentals (cos/sin) with the complex matmuls on
+the MXU:
+
+  type-2 (uniform -> points), d=2:
+      per point-tile: build cos/sin of theta_t = 2 pi frac(x h) k in VMEM,
+      t = f @ conj(E2)^T as 4 real (m x m)@(m x TN) matmuls,
+      out = rowsum(conj(E1) * t^T) on the VPU.
+  type-1 (points -> uniform), d=2:
+      per point-tile: accumulate (E1 * v)^T @ E2 into the (m, m) output
+      block across the sequential TPU grid.
+
+HBM traffic drops from O(N mtot) (phase matrices) to O(N d) point reads
+plus the O(mtot^2) coefficient block.  Numerics are identical to the MXU
+path (same range reduction; f32 cos/sin).
+
+Kernels run in interpreter mode automatically off-TPU so the CPU test
+suite exercises them against the dense oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d"]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# minimax polynomials for sin/cos(2 pi r) on the quadrant r in [-1/4, 1/4]
+# (max err ~3e-9): Mosaic's native transcendentals are fast approximations
+# (~2e-3 observed), far below NUFFT accuracy targets.
+_SIN_C = (6.2831851596e+00, -4.1341654929e+01, 8.1600998193e+01,
+          -7.6549656821e+01, 3.9535813712e+01)
+_COS_C = (9.9999999978e-01, -1.9739208548e+01, 6.4939346553e+01,
+          -8.5453568195e+01, 6.0143952339e+01, -2.4981836146e+01)
+
+
+def _cos_sin_cycles(c):
+    """Accurate cos/sin of 2*pi*c for cycle argument c in [-0.5, 0.5]."""
+    q = jnp.round(2.0 * c)                 # quadrant in {-1, 0, 1}
+    r = c - 0.5 * q
+    r2 = r * r
+    s = r * (_SIN_C[0] + r2 * (_SIN_C[1] + r2 * (_SIN_C[2]
+             + r2 * (_SIN_C[3] + r2 * _SIN_C[4]))))
+    co = (_COS_C[0] + r2 * (_COS_C[1] + r2 * (_COS_C[2]
+          + r2 * (_COS_C[3] + r2 * (_COS_C[4] + r2 * _COS_C[5])))))
+    sign = 1.0 - 2.0 * jnp.abs(q)          # (-1)^q for q in {-1,0,1}
+    return sign * co, sign * s
+
+
+def _type2_kernel(x_ref, fre_ref, fim_ref, k_ref, h_ref, out_ref):
+    """One point-tile of the fused type-2 apply (d=2)."""
+    m = fre_ref.shape[0]
+    x = x_ref[...]                         # (TN, 2)
+    h = h_ref[0]
+    k = k_ref[...]                         # (1, m)
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)               # torus fold
+        cyc = u[:, None] * k               # (TN, m)
+        cyc = cyc - jnp.round(cyc)
+        return _cos_sin_cycles(cyc)        # +theta: conj(E) = e^{+i theta}
+
+    c1, s1 = cos_sin(0)
+    c2, s2 = cos_sin(1)
+    fre = fre_ref[...]
+    fim = fim_ref[...]
+    # full-precision f32 MXU passes: Pallas dots default to bf16-level
+    # precision (~2e-3 observed) without HIGHEST
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    # t[j, n] = sum_k f[j, k] (c2 + i s2)[n, k]
+    t_re = dot(fre, c2.T) - dot(fim, s2.T)     # (m, TN)
+    t_im = dot(fre, s2.T) + dot(fim, c2.T)
+    # out[n] = sum_j (c1 + i s1)[n, j] t[j, n]
+    out_re = jnp.sum(c1 * t_re.T - s1 * t_im.T, axis=1)
+    out_im = jnp.sum(c1 * t_im.T + s1 * t_re.T, axis=1)
+    out_ref[...] = jnp.stack([out_re, out_im], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret"))
+def pallas_nufft2_2d(x, f, h, *, mtot: int, tile: int = 512,
+                     interpret: bool | None = None):
+    """Fused type-2 apply for d=2: ``out[n] = sum_jk f[j,k] e^{+2 pi i
+    x_n . (h k)}``.  ``f`` complex (mtot, mtot) or flat; returns complex
+    (N,)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    f = f.reshape(m, m)
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    kvals = jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1,
+                       dtype=jnp.float32).reshape(1, m)
+    out = pl.pallas_call(
+        _type2_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+        interpret=interpret,
+    )(xp, jnp.real(f).astype(jnp.float32), jnp.imag(f).astype(jnp.float32),
+      kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(out[:n, 0], out[:n, 1])
+
+
+def _type1_kernel(x_ref, vre_ref, vim_ref, k_ref, h_ref, ore_ref, oim_ref):
+    """Accumulate one point-tile into the (m, m) type-1 output (d=2)."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * k
+        cyc = cyc - jnp.round(cyc)
+        co, s = _cos_sin_cycles(cyc)       # E = e^{-i theta} (isign=-1)
+        return co, -s
+
+    c1, s1 = cos_sin(0)                    # (TN, m)
+    c2, s2 = cos_sin(1)
+    vre = vre_ref[...][:, 0]               # (TN,)
+    vim = vim_ref[...][:, 0]
+    # w = E1 * v  (complex, (TN, m))
+    w_re = c1 * vre[:, None] - s1 * vim[:, None]
+    w_im = c1 * vim[:, None] + s1 * vre[:, None]
+    # full-precision f32 MXU passes: Pallas dots default to bf16-level
+    # precision (~2e-3 observed) without HIGHEST
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    acc_re = dot(w_re.T, c2) - dot(w_im.T, s2)    # (m, m)
+    acc_im = dot(w_re.T, s2) + dot(w_im.T, c2)
+
+    @pl.when(i == 0)
+    def _():
+        ore_ref[...] = acc_re
+        oim_ref[...] = acc_im
+
+    @pl.when(i > 0)
+    def _():
+        ore_ref[...] += acc_re
+        oim_ref[...] += acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret"))
+def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
+                     interpret: bool | None = None):
+    """Fused type-1 apply for d=2: ``out[j,k] = sum_n v_n e^{-2 pi i
+    x_n . (h k)}``; returns complex (mtot, mtot)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    vre = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.real(vals).astype(jnp.float32))
+    vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.imag(vals).astype(jnp.float32))
+    kvals = jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1,
+                       dtype=jnp.float32).reshape(1, m)
+    ore, oim = pl.pallas_call(
+        _type1_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((m, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m, m), jnp.float32)),
+        interpret=interpret,
+    )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(ore, oim)
