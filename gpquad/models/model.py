@@ -258,6 +258,21 @@ class EFGP:
         if key is not None:
             self.key = key
 
+        # jitted per-iteration tail: Adam step + min-lengthscale clamp in
+        # one dispatch (eager optax costs ~dozens of remote-TPU round-trips
+        # per iteration)
+        ls_idx = (self.params.names.index("lengthscale")
+                  if "lengthscale" in self.params.names else None)
+
+        @jax.jit
+        def adam_step(raw, opt_state, grad_raw):
+            updates, opt_state = tx.update(grad_raw, opt_state, raw)
+            raw = optax.apply_updates(raw, updates)
+            if ls_idx is not None:
+                raw = raw.at[ls_idx].set(
+                    jnp.maximum(raw[ls_idx], jnp.log(min_lengthscale)))
+            return raw, opt_state
+
         history: Dict = {"log_marginal": [], "gradients": [],
                          "mean_cg_iters": [], "trace_cg_iters": [],
                          "sigmasq": []}
@@ -286,13 +301,9 @@ class EFGP:
             history["trace_cg_iters"].append(
                 self.last_gradient_stats.get("trace_cg_iters"))
 
-            updates, opt_state = tx.update(grad_raw, opt_state,
-                                           self.params.raw)
-            self.params = self.params.replace_raw(
-                optax.apply_updates(self.params.raw, updates))
-            if "lengthscale" in self.params.names:
-                self.params = self.params.clamp_min("lengthscale",
-                                                    min_lengthscale)
+            new_raw, opt_state = adam_step(self.params.raw, opt_state,
+                                           grad_raw)
+            self.params = self.params.replace_raw(new_raw)
             if verbose and (it % log_interval == 0 or it == max_iters - 1):
                 print(f"iter {it}/{max_iters}: "
                       + ", ".join(f"{n}={v[-1]:.6g}"
