@@ -36,6 +36,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:  # persistent compile cache cuts reruns' cold start
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gpquad_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from gpquad.kernels import SquaredExponential
     from gpquad.models.efgp import fit_with_grid, predict_mean, predict_var

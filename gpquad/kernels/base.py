@@ -130,7 +130,10 @@ class AbstractKernel:
         data_fit = 0.5 * jnp.sum(y * alpha)
         complexity = jnp.sum(jnp.log(jnp.diag(L)))
         constant = 0.5 * n * jnp.log(2.0 * jnp.pi)
-        return -(data_fit + complexity + constant)
+        lm = -(data_fit + complexity + constant)
+        # Cholesky failure fallback: jnp returns NaNs where torch raises;
+        # mirror the reference's -inf fallback (squared_exponential.py:161-163)
+        return jnp.where(jnp.isnan(lm), -jnp.inf, lm)
 
     def spectral_grad_auto(self, xi) -> jnp.ndarray:
         """Autodiff gradient of the spectral density wrt kernel hypers.

@@ -102,7 +102,8 @@ def quadrature_weights(kernel, xis_flat, h, d, *, mask=None):
 def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                   cg_tol: float = 1e-4, max_cg_iter: Optional[int] = None,
                   beta0: Optional[jnp.ndarray] = None,
-                  use_precond: bool = True, ws_mask=None) -> FitState:
+                  use_precond: bool = True, ws_mask=None,
+                  nufft_method: str = "mxu") -> FitState:
     """Fit against a fixed (static-size) frequency grid, compiled with XLA.
 
     Mirrors ``_compute_common_parameters`` (reference efgpnd.py:736-822):
@@ -117,15 +118,18 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
     return _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask,
                               mtot=mtot, cg_tol=cg_tol,
                               max_cg_iter=max_cg_iter,
-                              use_precond=use_precond)
+                              use_precond=use_precond,
+                              nufft_method=nufft_method)
 
 
 @partial(jax.jit,
-         static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond"))
+         static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond",
+                          "nufft_method"))
 def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        mtot: int, cg_tol: float,
                        max_cg_iter: Optional[int],
-                       use_precond: bool) -> FitState:
+                       use_precond: bool,
+                       nufft_method: str = "mxu") -> FitState:
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
@@ -139,10 +143,10 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     xis = tensor_grid(xis_1d, d)
     ws = quadrature_weights(kernel, xis, h, d, mask=ws_mask)
 
-    nufft = make_nufft(x, h, mtot, cdtype=cdtype)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method)
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
 
-    v = convolution_vector(m, x, h)
+    v = convolution_vector(m, x, h, nufft_method=nufft_method)
     toeplitz = make_toeplitz(v)
     A_mean = make_A_mean(ws, toeplitz, sigmasq)
     M_inv = None

@@ -193,16 +193,29 @@ class NUFFT:
 
 
 def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
-               cdtype=None, fft_order: bool = False) -> NUFFT:
+               cdtype=None, fft_order: bool = False,
+               method: str = "mxu"):
     """Build the NUFFT operator for points ``x`` (N, d) on grid spacing ``h``.
 
     ``fft_order=False`` gives FINUFFT modeord=False ordering k = -m..m (the
     default everywhere in the reference); ``fft_order=True`` gives FFT
     ordering 0..m, -m..-1 as needed by the stochastic-variance evaluation
     (reference efgpnd.py:1666-1679 uses modeord=True).
+
+    ``method="pallas"`` (d=2, symmetric ordering only) selects the fused
+    Pallas kernels, which never materialize phase matrices in HBM — the
+    right choice for very large n * mtot.
     """
     if x.ndim == 1:
         x = x[:, None]
+    if method == "pallas":
+        if x.shape[1] != 2 or fft_order:
+            raise NotImplementedError(
+                "pallas NUFFT supports d=2 with symmetric mode ordering")
+        from .pallas_nufft import PallasNUFFT
+        return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
+    if method != "mxu":
+        raise ValueError(f"Unknown NUFFT method '{method}'")
     n, d = x.shape
     rdtype = x.dtype
     cdtype = cdtype or _complex_dtype(rdtype)

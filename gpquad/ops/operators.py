@@ -30,7 +30,8 @@ __all__ = [
 ]
 
 
-def convolution_vector(m: int, x: jnp.ndarray, h, *, mask=None) -> jnp.ndarray:
+def convolution_vector(m: int, x: jnp.ndarray, h, *, mask=None,
+                       nufft_method: str = "mxu") -> jnp.ndarray:
     """Toeplitz lag table v[k] = sum_n exp(-2 pi i <k, h x_n>), k in
     [-2m, 2m]^d — a type-1 NUFFT with unit weights on the doubled grid
     (reference efgpnd.py:1395-1421; eps fixed there at 6e-8, here the MXU
@@ -38,10 +39,11 @@ def convolution_vector(m: int, x: jnp.ndarray, h, *, mask=None) -> jnp.ndarray:
     if x.ndim == 1:
         x = x[:, None]
     n = x.shape[0]
-    op = make_nufft(x, h, 4 * m + 1)
+    op = make_nufft(x, h, 4 * m + 1, method=nufft_method)
     # real ones converted on device: the axon TPU runtime rejects eagerly
     # materialized complex host constants
-    ones = jnp.ones((n,), dtype=x.dtype).astype(op.phases[0].dtype)
+    cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+    ones = jnp.ones((n,), dtype=x.dtype).astype(cdtype)
     return op.type1(ones)
 
 

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d"]
+__all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d", "PallasNUFFT"]
 
 
 def _on_tpu() -> bool:
@@ -211,3 +211,51 @@ def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
         interpret=interpret,
     )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
     return jax.lax.complex(ore, oim)
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasNUFFT:
+    """Drop-in NUFFT backend built on the fused kernels (d=2 only).
+
+    Same duck-typed interface as ops.nufft.NUFFT (type1/type2, batched via
+    sequential kernel launches) but stores only the raw points: phase
+    factors never touch HBM.  Select with
+    ``make_nufft(..., method="pallas")``.
+    """
+    x: jnp.ndarray           # (N, 2)
+    h: jnp.ndarray
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+
+    @property
+    def d(self) -> int:
+        return 2
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    def type1(self, vals):
+        if vals.ndim == 1:
+            return pallas_nufft1_2d(self.x, vals, self.h, mtot=self.mtot)
+        return jax.lax.map(
+            lambda v: pallas_nufft1_2d(self.x, v, self.h, mtot=self.mtot),
+            vals)
+
+    def type2(self, fk):
+        m = self.mtot
+        M = m * m
+        if fk.shape == (M,) or fk.shape == (m, m):
+            return pallas_nufft2_2d(self.x, fk, self.h, mtot=m)
+        lead = fk.shape[:-1] if fk.shape[-1] == M else fk.shape[:-2]
+        flat = fk.reshape((-1, m, m))
+        out = jax.lax.map(
+            lambda f: pallas_nufft2_2d(self.x, f, self.h, mtot=m), flat)
+        return out.reshape(lead + (self.n,))
+
+
+jax.tree_util.register_dataclass(
+    PallasNUFFT, data_fields=["x", "h"], meta_fields=["mtot"]
+)
