@@ -51,6 +51,9 @@ class GradientResult(NamedTuple):
     log_marginal: jnp.ndarray    # scalar (nan when not requested)
     mean_cg_iters: jnp.ndarray
     trace_cg_iters: jnp.ndarray
+    trace_conv_iters: jnp.ndarray  # ((tk+1)*T,) per-RHS convergence iter
+                                   # (probe-block CG tails, reference
+                                   # diagnose_sigma_noise_trace_blocks.py)
 
 
 def _variance_index(kernel) -> Optional[int]:
@@ -211,7 +214,8 @@ def gradient_with_grid(
 
     return GradientResult(grad=grad, beta=beta_raw, log_marginal=log_marginal,
                           mean_cg_iters=res_mean.iters,
-                          trace_cg_iters=res_trace.iters)
+                          trace_cg_iters=res_trace.iters,
+                          trace_conv_iters=res_trace.conv_iters)
 
 
 def gradient(x, y, kernel, sigmasq, eps, key, *, trace_samples: int = 10,
