@@ -1,0 +1,69 @@
+"""Spread/interpolate NUFFT tests: convergence in the kernel width w and
+adjoint consistency, against the exact MXU path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpquad.ops.nufft import make_nufft
+from gpquad.ops.spread_nufft import (spread_nufft1_2d, spread_nufft2_2d,
+                                     spread_params)
+
+
+def test_spread_params():
+    w, beta = spread_params(1e-6)
+    assert w == 7 and abs(beta - 2.3 * 7) < 1e-12
+    assert spread_params(1e-3)[0] == 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    n, mtot, h = 1500, 23, 0.31
+    x = jnp.asarray(rng.uniform(-2, 2, (n, 2)))
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    f = jnp.asarray(rng.normal(size=(mtot, mtot))
+                    + 1j * rng.normal(size=(mtot, mtot)))
+    op = make_nufft(x, h, mtot)
+    return x, v, f, op, mtot, h
+
+
+def test_type1_convergence_in_w(setup):
+    x, v, f, op, mtot, h = setup
+    want = np.asarray(op.type1(v))
+    errs = {}
+    for w in (4, 6, 8):
+        got = np.asarray(spread_nufft1_2d(x, v, h, mtot=mtot, w=w))
+        errs[w] = np.abs(got - want).max() / np.abs(want).max()
+    assert errs[4] < 5e-3
+    assert errs[6] < 1e-4
+    assert errs[8] < 1e-6
+    assert errs[8] < errs[6] < errs[4]
+
+
+def test_type2_matches_exact(setup):
+    x, v, f, op, mtot, h = setup
+    want = np.asarray(op.type2(f))
+    got = np.asarray(spread_nufft2_2d(x, f, h, mtot=mtot, w=8))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_adjoint_consistency(setup):
+    """<F* c, f> == <c, F f> through the spread pair."""
+    x, v, f, op, mtot, h = setup
+    lhs = complex(jnp.vdot(spread_nufft1_2d(x, v, h, mtot=mtot, w=8)
+                           .reshape(-1), f.reshape(-1)))
+    rhs = complex(jnp.vdot(v, spread_nufft2_2d(x, f, h, mtot=mtot, w=8)))
+    assert abs(lhs - rhs) < 1e-6 * abs(rhs)
+
+
+def test_large_domain_points(setup):
+    """Points far outside [0, 1/h): periodic folding must stay exact."""
+    rng = np.random.default_rng(3)
+    mtot, h = 15, 0.21
+    x = jnp.asarray(rng.uniform(-500, 500, (300, 2)))
+    v = jnp.asarray(rng.normal(size=300) + 0j)
+    op = make_nufft(x, h, mtot)
+    want = np.asarray(op.type1(v))
+    got = np.asarray(spread_nufft1_2d(x, v, h, mtot=mtot, w=8))
+    assert np.abs(got - want).max() < 2e-6 * np.abs(want).max()
