@@ -106,6 +106,10 @@ def pallas_nufft2_2d(x, f, h, *, mtot: int, tile: int = 512,
     n = x.shape[0]
     m = mtot
     f = f.reshape(m, m)
+    if m > _MODE_TILE:
+        return _pallas_nufft2_2d_tiled(x, f, h, mtot=mtot, tile=tile,
+                                       mode_tile=_MODE_TILE,
+                                       interpret=interpret)
     ntile = -(-n // tile)
     npad = ntile * tile
     xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
@@ -180,6 +184,10 @@ def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
         interpret = not _on_tpu()
     n = x.shape[0]
     m = mtot
+    if m > _MODE_TILE:
+        return _pallas_nufft1_2d_tiled(x, vals, h, mtot=mtot, tile=tile,
+                                       mode_tile=_MODE_TILE,
+                                       interpret=interpret)
     ntile = -(-n // tile)
     npad = ntile * tile
     xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
@@ -259,3 +267,163 @@ class PallasNUFFT:
 jax.tree_util.register_dataclass(
     PallasNUFFT, data_fields=["x", "h"], meta_fields=["mtot"]
 )
+
+
+# ---------------------------------------------------------------------------
+# mode-tiled variants: VMEM holds only (tile x MB) phase blocks, so mtot is
+# no longer bounded by ~500 (the single-block kernels overflow VMEM there).
+# Grid order puts the reduction axis innermost so output blocks accumulate
+# in place (standard TPU reduction pattern).
+# ---------------------------------------------------------------------------
+
+_MODE_TILE = 256
+
+
+def _type2_tiled_kernel(x_ref, fre_ref, fim_ref, k1_ref, k2_ref, h_ref,
+                        out_ref):
+    jt = pl.program_id(1)
+    kt = pl.program_id(2)
+    x = x_ref[...]
+    h = h_ref[0]
+
+    def cos_sin(col, kv):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * kv
+        cyc = cyc - jnp.round(cyc)
+        return _cos_sin_cycles(cyc)
+
+    c1, s1 = cos_sin(0, k1_ref[...])       # (TN, MB)
+    c2, s2 = cos_sin(1, k2_ref[...])
+    fre = fre_ref[...]
+    fim = fim_ref[...]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    t_re = dot(fre, c2.T) - dot(fim, s2.T)     # (MB, TN)
+    t_im = dot(fre, s2.T) + dot(fim, c2.T)
+    out_re = jnp.sum(c1 * t_re.T - s1 * t_im.T, axis=1)
+    out_im = jnp.sum(c1 * t_im.T + s1 * t_re.T, axis=1)
+    acc = jnp.stack([out_re, out_im], axis=1)
+
+    @pl.when((jt == 0) & (kt == 0))
+    def _():
+        out_ref[...] = acc
+
+    @pl.when((jt > 0) | (kt > 0))
+    def _():
+        out_ref[...] += acc
+
+
+def _pallas_nufft2_2d_tiled(x, f, h, *, mtot, tile, mode_tile, interpret):
+    n = x.shape[0]
+    m = mtot
+    mb = mode_tile
+    mp = -(-m // mb) * mb
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    fp = jnp.zeros((mp, mp), f.dtype).at[:m, :m].set(f.reshape(m, m))
+    kv = jnp.zeros((1, mp), jnp.float32).at[0, :m].set(
+        jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1, dtype=jnp.float32))
+    out = pl.pallas_call(
+        _type2_tiled_kernel,
+        grid=(ntile, mp // mb, mp // mb),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, mb), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, mb), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i, j, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+        interpret=interpret,
+    )(xp, jnp.real(fp).astype(jnp.float32), jnp.imag(fp).astype(jnp.float32),
+      kv, kv, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(out[:n, 0], out[:n, 1])
+
+
+def _type1_tiled_kernel(x_ref, vre_ref, vim_ref, k1_ref, k2_ref, h_ref,
+                        ore_ref, oim_ref):
+    i = pl.program_id(2)                   # reduction axis (points)
+    x = x_ref[...]
+    h = h_ref[0]
+
+    def cos_sin(col, kv):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * kv
+        cyc = cyc - jnp.round(cyc)
+        co, s = _cos_sin_cycles(cyc)
+        return co, -s                      # isign = -1
+
+    c1, s1 = cos_sin(0, k1_ref[...])
+    c2, s2 = cos_sin(1, k2_ref[...])
+    vre = vre_ref[...][:, 0]
+    vim = vim_ref[...][:, 0]
+    w_re = c1 * vre[:, None] - s1 * vim[:, None]
+    w_im = c1 * vim[:, None] + s1 * vre[:, None]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    acc_re = dot(w_re.T, c2) - dot(w_im.T, s2)
+    acc_im = dot(w_re.T, s2) + dot(w_im.T, c2)
+
+    @pl.when(i == 0)
+    def _():
+        ore_ref[...] = acc_re
+        oim_ref[...] = acc_im
+
+    @pl.when(i > 0)
+    def _():
+        ore_ref[...] += acc_re
+        oim_ref[...] += acc_im
+
+
+def _pallas_nufft1_2d_tiled(x, vals, h, *, mtot, tile, mode_tile, interpret):
+    n = x.shape[0]
+    m = mtot
+    mb = mode_tile
+    mp = -(-m // mb) * mb
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    vre = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.real(vals).astype(jnp.float32))
+    vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.imag(vals).astype(jnp.float32))
+    kv = jnp.zeros((1, mp), jnp.float32).at[0, :m].set(
+        jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1, dtype=jnp.float32))
+    ore, oim = pl.pallas_call(
+        _type1_tiled_kernel,
+        grid=(mp // mb, mp // mb, ntile),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda j, k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j, k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda j, k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb), lambda j, k, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb), lambda j, k, i: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((mb, mb), lambda j, k, i: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mb, mb), lambda j, k, i: (j, k),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+                   jax.ShapeDtypeStruct((mp, mp), jnp.float32)),
+        interpret=interpret,
+    )(xp, vre, vim, kv, kv, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(ore[:m, :m], oim[:m, :m])

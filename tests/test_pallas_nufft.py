@@ -61,3 +61,22 @@ def test_pallas_ragged_tile(rng):
     F = dense_F(np.asarray(x), h, mtot)
     want = np.abs((F.conj().T @ np.asarray(v)).reshape(mtot, mtot))
     assert np.max(np.abs(got - want)) < 2e-4 * want.max()
+
+
+def test_mode_tiled_kernels(rng):
+    """mtot > _MODE_TILE dispatches the tiled kernels; results match."""
+    from gpquad.ops.pallas_nufft import _MODE_TILE
+    n, mtot, h = 600, _MODE_TILE + 45, 0.011
+    x = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    op = make_nufft(x, h, mtot)
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n),
+                    jnp.complex64)
+    got1 = pallas_nufft1_2d(x, v, h, mtot=mtot, tile=256)
+    want1 = op.type1(v)
+    assert float(jnp.max(jnp.abs(got1 - want1))
+                 / jnp.max(jnp.abs(want1))) < 5e-5
+    f = jnp.asarray(rng.normal(size=(mtot, mtot)), jnp.complex64)
+    got2 = pallas_nufft2_2d(x, f, h, mtot=mtot, tile=256)
+    want2 = op.type2(f)
+    assert float(jnp.max(jnp.abs(got2 - want2))
+                 / jnp.max(jnp.abs(want2))) < 5e-5
