@@ -17,17 +17,16 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import make_kernel
-from ..ops.cg import CGResult, pcg
-from ..ops.nufft import NUFFT, make_nufft
+from ..ops.cg import pcg
+from ..ops.nufft import make_nufft
 from ..ops.operators import (convolution_vector, make_A_mean, make_A_var,
-                             make_Gv, make_jacobi_precond)
+                             make_jacobi_precond)
 from ..ops.toeplitz import ToeplitzND, make_toeplitz, toeplitz_diag_scale
 from ..quadrature import spectral_grid
 

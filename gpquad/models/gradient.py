@@ -25,7 +25,6 @@ explicitly, which makes the reference's same-probe dense-oracle tests
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 

@@ -18,7 +18,7 @@ through optax instead of mutating ``nn.Parameter`` state.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

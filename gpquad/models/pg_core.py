@@ -22,9 +22,8 @@ static grid sizes so the EM loop does not recompile as hypers move.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import lru_cache, partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from ..ops.cg import pcg
 from ..ops.nufft import NUFFT, make_nufft
 from ..ops.operators import convolution_vector
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
-from .efgp import _cdtype, quadrature_weights, tensor_grid
+from .efgp import _cdtype, tensor_grid
 
 __all__ = [
     "PGSpectralState", "build_pg_spectral_state", "weighted_toeplitz",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import time
 from functools import partial
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import optax
 
 from ..kernels import make_kernel
 from ..ops.cg import pcg
-from ..ops.slq import logdet_slq
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
 
 __all__ = ["SKIOperator", "build_ski_operator", "fit_ski_gp",

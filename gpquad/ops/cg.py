@@ -14,7 +14,6 @@ tiny right-hand sides.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax

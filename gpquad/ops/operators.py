@@ -14,12 +14,12 @@ leading batch dims, so the batched trace CG costs one fused FFT stack.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 
 from .nufft import make_nufft
-from .toeplitz import ToeplitzND, make_toeplitz
+from .toeplitz import ToeplitzND
 
 __all__ = [
     "convolution_vector",

@@ -47,11 +47,6 @@ def save_checkpoint(path, tree: Dict[str, Any], *, metadata: Optional[Dict] = No
 def restore_checkpoint(path) -> Dict[str, Any]:
     path = Path(path).absolute()
     tree = _checkpointer().restore(path)
-
-    def join(x):
-        if isinstance(x, dict) and "__complex_re__" in x:
-            return x["__complex_re__"] + 1j * x["__complex_im__"]
-        return x
     tree = _join_complex(tree)
     meta_p = path / "gpquad_meta.json"
     if meta_p.exists():

@@ -18,9 +18,8 @@ Dataset files are located via an explicit ``path=`` argument or the
 from __future__ import annotations
 
 import os
-from datetime import datetime, timedelta
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
