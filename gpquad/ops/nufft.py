@@ -208,6 +208,8 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     """
     if x.ndim == 1:
         x = x[:, None]
+    if mtot % 2 != 1:
+        raise ValueError(f"mtot must be odd (symmetric grid -m..m), got {mtot}")
     if method == "pallas":
         if x.shape[1] != 2 or fft_order:
             raise NotImplementedError(

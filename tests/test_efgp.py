@@ -192,3 +192,26 @@ def test_fit_is_jittable(rng):
     # jitted grid uses L from spectral_grid(..., L=1.0) vs data-derived L;
     # only check the jit executes and returns finite values
     assert np.all(np.isfinite(b1.real))
+
+
+def test_3d_fit_and_predict(rng):
+    """End-to-end d=3 (the reference demonstrates d<=3 via the roads data)."""
+    kernel = SquaredExponential(lengthscale=0.5, variance=1.0, dimension=3)
+    x, y = make_data(rng, n=150, d=3, lengthscale=0.5, variance=1.0,
+                     noise=0.1)
+    state = fit(x, y, kernel, 0.1, eps=1e-3, cg_tol=1e-10)
+    assert state.d == 3
+    xnew = jnp.asarray(np.random.default_rng(9).uniform(0.2, 0.8, (20, 3)))
+    mean = np.asarray(predict_mean(state, xnew))
+    var = np.asarray(predict_var(state, xnew, method="regular",
+                                 cg_tol=1e-10))
+    mo, vo = dense_gp_posterior(kernel, x, y, 0.1, xnew)
+    assert np.max(np.abs(mean - mo)) < 2e-2 * max(1.0, np.max(np.abs(mo)))
+    assert np.max(np.abs(var - vo)) < 3e-2 * float(kernel.variance)
+
+
+def test_even_mtot_rejected(rng):
+    from gpquad.ops.nufft import make_nufft
+    x = jnp.asarray(rng.uniform(size=(10, 2)))
+    with pytest.raises(ValueError):
+        make_nufft(x, 0.3, 10)
