@@ -63,7 +63,7 @@ def _variance_index(kernel) -> Optional[int]:
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "cg_tol", "max_cg_iter", "use_mean_precond",
     "use_trace_precond", "compute_log_marginal", "log_marginal_probes",
-    "log_marginal_steps"))
+    "log_marginal_steps", "nufft_method"))
 def gradient_with_grid(
         x, y, kernel, sigmasq, h, key, *, mtot: int, trace_samples: int = 10,
         cg_tol: float = 1e-3, max_cg_iter: Optional[int] = None,
@@ -71,7 +71,8 @@ def gradient_with_grid(
         use_mean_precond: bool = True, use_trace_precond: bool = True,
         probes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         compute_log_marginal: bool = False, log_marginal_probes: int = 100,
-        log_marginal_steps: int = 25) -> GradientResult:
+        log_marginal_steps: int = 25,
+        nufft_method: str = "mxu") -> GradientResult:
     """One gradient evaluation on a fixed-size frequency grid (jitted).
 
     Stage structure mirrors reference efgpnd.py:94-289; ``ws_mask`` zeroes
@@ -111,10 +112,10 @@ def gradient_with_grid(
     M = ws.shape[0]
 
     # --- stage 2/3: NUFFT + Toeplitz + operators ---------------------------
-    nufft = make_nufft(x, h, mtot, cdtype=cdtype)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method)
     fadj = lambda v: nufft.type1(v).reshape(v.shape[:-1] + (M,))
     fwd = lambda fk: nufft.type2(fk)
-    v_kernel = convolution_vector(m, x, h)
+    v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method)
     toeplitz = make_toeplitz(v_kernel)
     A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
     jacobi = make_jacobi_precond(ws, sigmasq_eff,

@@ -118,7 +118,8 @@ class EFGP:
             cg_tol=self.opts.get("cg_tolerance", 1e-4),
             max_cg_iter=self.opts.get("max_cg_iterations"),
             beta0=beta0,
-            use_precond=self.opts.get("mean_cg_preconditioner", True))
+            use_precond=self.opts.get("mean_cg_preconditioner", True),
+            nufft_method=self.opts.get("nufft_method", "mxu"))
         self._fitted_raw = np.asarray(self.params.raw).copy()
         return self
 
@@ -219,6 +220,7 @@ class EFGP:
             noise_floor=noise_floor, beta0=beta0, ws_mask=ws_mask,
             use_mean_precond=self.opts.get("mean_cg_preconditioner", True),
             use_trace_precond=self.opts.get("trace_cg_preconditioner", True),
+            nufft_method=self.opts.get("nufft_method", "mxu"),
             probes=probes, compute_log_marginal=compute_log_marginal,
             log_marginal_probes=log_marginal_probes,
             log_marginal_steps=log_marginal_steps)
