@@ -53,6 +53,8 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     hyper-gradient evaluation (the BASELINE.md north-star workload)."""
     if x.ndim == 1:
         x = x[:, None]
+    if xnew.ndim == 1:
+        xnew = xnew[:, None]
     n, d = x.shape
     rdtype = x.dtype
     cdtype = _cdtype(rdtype)
