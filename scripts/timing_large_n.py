@@ -81,4 +81,8 @@ if __name__ == "__main__":
 #   n=1e6 mtot=49:  fit[mxu] 77 ms, fit[pallas] 46 ms, predict 10k 37 ms,
 #                   10-probe hyper-gradient 158 ms
 #   n=5e5 mtot=475 (M=225k): warm fit 0.3 s (pallas), predict 5k 40 ms
-#   n=1e6 mtot=1601 (M=2.5M): tiled-pallas type-1 apply 1.0 s
+#   n=1e6 mtot=1601 (M=2.5M): tiled-pallas type-1 apply 1.0 s,
+#                              banded-spread type-1 0.35 s / type-2 0.81 s
+#   n=1e6 hyper-learning (EFGP facade, pallas backend): 10 Adam iters in
+#                              31 s incl. compiles; lengthscale/noise
+#                              recovered to ~30%
