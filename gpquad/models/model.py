@@ -44,8 +44,12 @@ class EFGP:
     """
 
     def __init__(self, x, y, kernel, sigmasq: Optional[float] = None,
-                 eps: float = 1e-2, opts: Optional[Dict] = None,
-                 estimate_params: bool = True, key=None):
+                 eps: float = 1e-2, nufft_eps: Optional[float] = None,
+                 opts: Optional[Dict] = None, estimate_params: bool = True,
+                 key=None):
+        """``nufft_eps`` is accepted for drop-in compatibility with the
+        reference signature (efgpnd.py:359-369) and ignored: the MXU/Pallas
+        NUFFT applies are exact, so there is no spreading tolerance."""
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[:, None]

@@ -100,8 +100,10 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                  lengthscale_init=0.3, variance_init=1.0, max_iter=50,
                  e_step_iters=1, final_e_step_iters=1, e_step_tol=1e-4,
                  rho0=0.7, gamma=1e-3, lr=0.05, n_e_probes=10, n_m_probes=10,
-                 cg_tol=1e-6, spectral_eps=1e-4, trunc_eps=1e-4,
-                 jitter=1e-8, reuse_e_probes=True,
+                 cg_tol=1e-6, nufft_eps=None, spectral_eps=1e-4,
+                 trunc_eps=1e-4, jitter=1e-8,
+                 use_exact_weighted_toeplitz_operator=True, device=None,
+                 reuse_e_probes=True,
                  prediction_batch_size=64,
                  predictive_variance_method="exact",
                  predictive_variance_probes=16,
@@ -121,6 +123,14 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self.n_e_probes = n_e_probes
         self.n_m_probes = n_m_probes
         self.cg_tol = cg_tol
+        # accepted for drop-in compatibility with the reference signature
+        # (pg_classifier.py:1065-1126): the TPU NUFFT is exact (nufft_eps
+        # moot), the weighted-Toeplitz operator is always the exact one,
+        # and JAX owns device placement
+        self.nufft_eps = nufft_eps
+        self.use_exact_weighted_toeplitz_operator = \
+            use_exact_weighted_toeplitz_operator
+        self.device = device
         self.spectral_eps = spectral_eps
         self.trunc_eps = trunc_eps
         self.jitter = jitter
