@@ -136,6 +136,7 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     cdtype = _cdtype(rdtype)
     h = jnp.asarray(h, dtype=rdtype)
     sigmasq = jnp.asarray(sigmasq, dtype=rdtype)
+    kernel = kernel.with_hypers(kernel.hyper_vector().astype(rdtype))
 
     m = (mtot - 1) // 2
     xis_1d = jnp.arange(-m, m + 1, dtype=rdtype) * h

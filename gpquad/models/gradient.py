@@ -86,6 +86,10 @@ def gradient_with_grid(
     cdtype = _cdtype(rdtype)
     h = jnp.asarray(h, dtype=rdtype)
     sigmasq = jnp.asarray(sigmasq, dtype=rdtype)
+    # cast hypers alongside sigmasq/h: f64 hypers (HyperState.create under
+    # x64) would otherwise upcast ws and the whole pipeline to complex128
+    # and scatter f64 values into the f32 term1/term2 arrays
+    kernel = kernel.with_hypers(kernel.hyper_vector().astype(rdtype))
     sigmasq_eff = (jnp.maximum(sigmasq, noise_floor)
                    if noise_floor is not None else sigmasq)
 

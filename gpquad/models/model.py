@@ -133,7 +133,11 @@ class EFGP:
                 compute_log_marginal: bool = False,
                 force_recompute: bool = False, key=None):
         """Posterior mean (and variance / log-marginal) at ``x_new``
-        (reference predict, efgpnd.py:824-972)."""
+        (reference predict, efgpnd.py:824-972).
+
+        Returns ``(mean, var)`` — ``var`` is ``None`` when
+        ``return_variance=False`` — plus the log-marginal when
+        ``compute_log_marginal=True``."""
         x_new = jnp.asarray(x_new)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
@@ -148,7 +152,7 @@ class EFGP:
                 cg_tol=self.opts.get("cg_tolerance", 1e-4),
                 max_cg_iter=self.opts.get("max_cg_iterations", 1000))
         else:
-            var = jnp.full((x_new.shape[0],), jnp.nan, dtype=mean.dtype)
+            var = None
         if compute_log_marginal:
             return mean, var, self.log_marginal()
         return mean, var

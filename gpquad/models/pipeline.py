@@ -60,6 +60,7 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     cdtype = _cdtype(rdtype)
     h = jnp.asarray(h, rdtype)
     sigmasq = jnp.asarray(sigmasq, rdtype)
+    kernel = kernel.with_hypers(kernel.hyper_vector().astype(rdtype))
 
     # shared grid artifacts (XLA CSEs these against the gradient stage)
     m = (mtot - 1) // 2
