@@ -43,7 +43,8 @@ def main():
         pass
     import jax.numpy as jnp
     from gpquad.kernels import SquaredExponential
-    from gpquad.models.efgp import fit_with_grid, predict_mean, predict_var
+    from gpquad.models.efgp import (fit_with_grid, predict_mean, predict_var,
+                                    resolve_solver)
     from gpquad.models.gradient import gradient_with_grid
     from gpquad.models.pipeline import fit_predict_grad
     from gpquad.quadrature import spectral_grid
@@ -65,13 +66,16 @@ def main():
     _, h, mtot = spectral_grid(kernel, eps, 1.0)
     key = jax.random.PRNGKey(0)
 
+    @jax.jit
+    def _reduce_tree(arrays):
+        return sum(jnp.sum(jnp.abs(jnp.real(a)))
+                   for a in jax.tree_util.tree_leaves(arrays)
+                   if hasattr(a, "dtype"))
+
     def sync(*arrays):
-        """Force completion: scalar reduce + host read (axon-safe)."""
-        total = 0.0
-        for a in jax.tree_util.tree_leaves(arrays):
-            if hasattr(a, "dtype"):
-                total += float(jnp.sum(jnp.abs(jnp.real(a))))
-        return total
+        """Force completion: ONE fused scalar reduce + host read (axon-safe;
+        per-leaf reads cost ~28 ms dispatch each through the tunnel)."""
+        return float(_reduce_tree(arrays))
 
     def fused():
         return fit_predict_grad(
@@ -127,6 +131,8 @@ def main():
         "grad_s": round(t_grad, 4),
         "compile_s": round(compile_s, 2),
         "mean_cg_iters": int(out.mean_cg_iters),
+        "mean_cg_converged": bool(np.asarray(out.mean_converged)),
+        "solver": resolve_solver("auto", mtot, d),
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

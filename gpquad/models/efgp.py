@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cg import pcg
+from ..ops.dense_solve import (DENSE_SOLVER_MAX_M, dense_gram, dense_inverse,
+                               refine_solve)
 from ..ops.nufft import make_nufft
 from ..ops.operators import (convolution_vector, make_A_mean, make_A_var,
                              make_jacobi_precond)
@@ -57,6 +59,8 @@ class FitState:
     toeplitz: ToeplitzND       # Gram operator F*F
     mean_cg_iters: jnp.ndarray
     diag_scale: jnp.ndarray = 1.0   # Toeplitz zero-lag (= n), Jacobi scale
+    A_dense: Optional[jnp.ndarray] = None   # (M, M) dense A (dense solver)
+    P_dense: Optional[jnp.ndarray] = None   # (M, M) inv(A) (dense solver)
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
     d: int = dataclasses.field(metadata={"static": True}, default=1)
 
@@ -74,9 +78,19 @@ class FitState:
 jax.tree_util.register_dataclass(
     FitState,
     data_fields=["beta", "ws", "h", "sigmasq", "toeplitz", "mean_cg_iters",
-                 "diag_scale"],
+                 "diag_scale", "A_dense", "P_dense"],
     meta_fields=["mtot", "d"],
 )
+
+
+def resolve_solver(solver: str, mtot: int, d: int) -> str:
+    """'auto' picks the dense factor-solve while the O(M^2) Gram is cheap
+    (M <= DENSE_SOLVER_MAX_M), CG beyond — see ops/dense_solve.py."""
+    if solver == "auto":
+        return "dense" if mtot ** d <= DENSE_SOLVER_MAX_M else "cg"
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"Unknown solver '{solver}' (auto | dense | cg)")
+    return solver
 
 
 def tensor_grid(xis_1d: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -102,7 +116,8 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                   cg_tol: float = 1e-4, max_cg_iter: Optional[int] = None,
                   beta0: Optional[jnp.ndarray] = None,
                   use_precond: bool = True, ws_mask=None,
-                  nufft_method: str = "mxu") -> FitState:
+                  nufft_method: str = "mxu",
+                  solver: str = "auto") -> FitState:
     """Fit against a fixed (static-size) frequency grid, compiled with XLA.
 
     Mirrors ``_compute_common_parameters`` (reference efgpnd.py:736-822):
@@ -118,17 +133,18 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                               mtot=mtot, cg_tol=cg_tol,
                               max_cg_iter=max_cg_iter,
                               use_precond=use_precond,
-                              nufft_method=nufft_method)
+                              nufft_method=nufft_method, solver=solver)
 
 
 @partial(jax.jit,
          static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond",
-                          "nufft_method"))
+                          "nufft_method", "solver"))
 def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        mtot: int, cg_tol: float,
                        max_cg_iter: Optional[int],
                        use_precond: bool,
-                       nufft_method: str = "mxu") -> FitState:
+                       nufft_method: str = "mxu",
+                       solver: str = "auto") -> FitState:
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
@@ -148,18 +164,25 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
 
     v = convolution_vector(m, x, h, nufft_method=nufft_method)
     toeplitz = make_toeplitz(v)
-    A_mean = make_A_mean(ws, toeplitz, sigmasq)
-    M_inv = None
-    if use_precond:
-        M_inv = make_jacobi_precond(ws, sigmasq,
-                                    diag_scale=toeplitz_diag_scale(v))
-
-    res = pcg(A_mean, rhs, beta0, tol=cg_tol,
-              maxiter=max_cg_iter if max_cg_iter is not None else 2 * rhs.shape[0],
-              M_inv=M_inv)
+    A_dense = P_dense = None
+    if resolve_solver(solver, mtot, d) == "dense":
+        A_dense = dense_gram(ws, v, mtot, d, sigmasq)
+        P_dense = dense_inverse(A_dense)
+        res = refine_solve(A_dense, P_dense, rhs, tol=cg_tol)
+    else:
+        A_mean = make_A_mean(ws, toeplitz, sigmasq)
+        M_inv = None
+        if use_precond:
+            M_inv = make_jacobi_precond(ws, sigmasq,
+                                        diag_scale=toeplitz_diag_scale(v))
+        res = pcg(A_mean, rhs, beta0, tol=cg_tol,
+                  maxiter=max_cg_iter if max_cg_iter is not None
+                  else 2 * rhs.shape[0],
+                  M_inv=M_inv)
     return FitState(beta=res.x, ws=ws, h=h, sigmasq=sigmasq,
                     toeplitz=toeplitz, mean_cg_iters=res.iters,
-                    diag_scale=toeplitz_diag_scale(v), mtot=mtot, d=d)
+                    diag_scale=toeplitz_diag_scale(v),
+                    A_dense=A_dense, P_dense=P_dense, mtot=mtot, d=d)
 
 
 def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
@@ -212,6 +235,17 @@ def posterior_fourier_rows(x_new, h, mtot: int, d: int):
     raise NotImplementedError("d <= 3")
 
 
+def _solve_var(state: FitState, rhs, *, cg_tol, max_cg_iter):
+    """Solve ``A_var x = rhs`` (``A_var = A_mean / sigma^2``) reusing the
+    fit's dense inverse when present, batched CG otherwise."""
+    if state.P_dense is not None:
+        return refine_solve(state.A_dense, state.P_dense, rhs,
+                            scale=1.0 / state.sigmasq, tol=cg_tol)
+    A_var = make_A_var(state.ws, state.toeplitz, state.sigmasq)
+    return pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter,
+               M_inv=_var_precond(state))
+
+
 def _var_precond(state: FitState):
     """Jacobi preconditioner for A_var = A_mean / sigma^2 (the reference's
     variance CG runs unpreconditioned, efgpnd.py:1648-1655, 1813-1816; the
@@ -226,20 +260,18 @@ def _var_precond(state: FitState):
 @partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter", "microbatch"))
 def _variance_regular(state: FitState, x_new, *, cg_tol, max_cg_iter,
                       microbatch: int = 8192) -> jnp.ndarray:
-    """Exact per-target CG variance (reference efgpnd.py:1805-1820)."""
-    A_var = make_A_var(state.ws, state.toeplitz, state.sigmasq)
+    """Exact per-target variance: dense factor-solve when available, CG
+    microbatches otherwise (reference efgpnd.py:1805-1820)."""
     B = x_new.shape[0]
     nb = max(1, math.ceil(B / microbatch))
     pad = nb * microbatch - B if nb > 1 else 0
     if pad:
         x_new = jnp.concatenate([x_new, x_new[-1:].repeat(pad, axis=0)], axis=0)
 
-    M_inv = _var_precond(state)
-
     def one_batch(xb):
         fx = posterior_fourier_rows(xb, state.h, state.mtot, state.d)
         rhs = state.ws * jnp.conj(fx)
-        res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
+        res = _solve_var(state, rhs, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
         return jnp.maximum(jnp.real(jnp.sum(fx * (state.ws * res.x), axis=-1)),
                            0.0)
 
@@ -264,10 +296,8 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     M = mtot ** d
     rdtype = state.h.dtype
     etas = (jax.random.bernoulli(key, 0.5, (probes, M)) * 2 - 1).astype(rdtype)
-    A_var = make_A_var(state.ws, state.toeplitz, state.sigmasq)
     rhs = state.ws[None, :] * etas
-    res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter,
-              M_inv=_var_precond(state))
+    res = _solve_var(state, rhs, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     gammas = state.ws[None, :] * res.x
 
     shape = (probes,) + (mtot,) * d

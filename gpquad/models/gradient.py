@@ -33,13 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cg import pcg
+from ..ops.dense_solve import dense_gram, dense_inverse, refine_solve
 from ..ops.nufft import make_nufft
 from ..ops.operators import (convolution_vector, make_A_mean,
                              make_jacobi_precond)
 from ..ops.slq import logdet_slq
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from ..quadrature import spectral_grid
-from .efgp import _cdtype, quadrature_weights, tensor_grid
+from .efgp import _cdtype, quadrature_weights, resolve_solver, tensor_grid
 
 __all__ = ["GradientResult", "gradient_with_grid", "gradient"]
 
@@ -63,7 +64,7 @@ def _variance_index(kernel) -> Optional[int]:
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "cg_tol", "max_cg_iter", "use_mean_precond",
     "use_trace_precond", "compute_log_marginal", "log_marginal_probes",
-    "log_marginal_steps", "nufft_method"))
+    "log_marginal_steps", "nufft_method", "solver"))
 def gradient_with_grid(
         x, y, kernel, sigmasq, h, key, *, mtot: int, trace_samples: int = 10,
         cg_tol: float = 1e-3, max_cg_iter: Optional[int] = None,
@@ -72,7 +73,7 @@ def gradient_with_grid(
         probes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         compute_log_marginal: bool = False, log_marginal_probes: int = 100,
         log_marginal_steps: int = 25,
-        nufft_method: str = "mxu") -> GradientResult:
+        nufft_method: str = "mxu", solver: str = "auto") -> GradientResult:
     """One gradient evaluation on a fixed-size frequency grid (jitted).
 
     Stage structure mirrors reference efgpnd.py:94-289; ``ws_mask`` zeroes
@@ -121,18 +122,29 @@ def gradient_with_grid(
     fwd = lambda fk: nufft.type2(fk)
     v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method)
     toeplitz = make_toeplitz(v_kernel)
-    A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
-    jacobi = make_jacobi_precond(ws, sigmasq_eff,
-                                 diag_scale=toeplitz_diag_scale(v_kernel))
-    mean_M_inv = jacobi if use_mean_precond else None
-    trace_M_inv = jacobi if use_trace_precond else None
-    maxiter = max_cg_iter if max_cg_iter is not None else 2 * M
+    use_dense = resolve_solver(solver, mtot, d) == "dense"
+    if use_dense:
+        A_dense = dense_gram(ws, v_kernel, mtot, d, sigmasq_eff)
+        P_dense = dense_inverse(A_dense)
+
+        def solve(b, x0=None):
+            return refine_solve(A_dense, P_dense, b, tol=cg_tol, x0=x0)
+    else:
+        A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
+        jacobi = make_jacobi_precond(ws, sigmasq_eff,
+                                     diag_scale=toeplitz_diag_scale(v_kernel))
+        mean_M_inv = jacobi if use_mean_precond else None
+        trace_M_inv = jacobi if use_trace_precond else None
+        maxiter = max_cg_iter if max_cg_iter is not None else 2 * M
 
     # --- stage 4: mean solve A beta = D F* y -------------------------------
     Fy = fadj(y.astype(cdtype))
     rhs = ws * Fy
-    res_mean = pcg(A_mean, rhs, beta0, tol=cg_tol, maxiter=maxiter,
-                   M_inv=mean_M_inv)
+    if use_dense:
+        res_mean = solve(rhs)
+    else:
+        res_mean = pcg(A_mean, rhs, beta0, tol=cg_tol, maxiter=maxiter,
+                       M_inv=mean_M_inv)
     beta_raw = res_mean.x
     beta = ws * beta_raw
     alpha = (y.astype(cdtype) - fwd(beta)) / sigmasq_eff.astype(cdtype)
@@ -175,9 +187,12 @@ def gradient_with_grid(
     B_noise = ws * toeplitz(ws * V.astype(cdtype))            # (T, M)
     B_all = jnp.concatenate([B_kernel, B_noise], axis=0)
 
-    # --- stage 7: one batched CG for every probe system --------------------
-    res_trace = pcg(A_mean, B_all, tol=cg_tol, maxiter=maxiter,
-                    M_inv=trace_M_inv)
+    # --- stage 7: one batched solve for every probe system ------------------
+    if use_dense:
+        res_trace = solve(B_all)
+    else:
+        res_trace = pcg(A_mean, B_all, tol=cg_tol, maxiter=maxiter,
+                        M_inv=trace_M_inv)
     Beta_all = res_trace.x
 
     # --- stage 7.5: assemble term1 ----------------------------------------

@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cg import pcg
+from ..ops.dense_solve import dense_gram, dense_inverse, refine_solve
 from ..ops.nufft import make_nufft
 from ..ops.operators import (convolution_vector, make_A_mean,
                              make_jacobi_precond)
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from .efgp import (FitState, _cdtype, _variance_stochastic, predict_mean,
-                   quadrature_weights, tensor_grid)
+                   quadrature_weights, resolve_solver, tensor_grid)
 from .gradient import gradient_with_grid
 
 __all__ = ["FusedResult", "fit_predict_grad"]
@@ -38,17 +39,18 @@ class FusedResult(NamedTuple):
     beta: jnp.ndarray          # (M,) mean-solve weights
     mean_cg_iters: jnp.ndarray
     trace_cg_iters: jnp.ndarray
+    mean_converged: jnp.ndarray = True   # honest solve-convergence flag
 
 
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
-    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter"))
+    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver"))
 def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                      trace_samples: int = 10, var_probes: int = 256,
                      cg_tol: float = 1e-6, var_cg_tol: float = 1e-4,
                      grad_cg_tol: float = 1e-4, max_cg_iter: int = 1000,
                      var_max_cg_iter: Optional[int] = None,
-                     ws_mask=None) -> FusedResult:
+                     ws_mask=None, solver: str = "auto") -> FusedResult:
     """One compiled pass: mean fit + target mean/variance + one
     hyper-gradient evaluation (the BASELINE.md north-star workload)."""
     if x.ndim == 1:
@@ -70,14 +72,22 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     v = convolution_vector(m, x, h)
     toeplitz = make_toeplitz(v)
     diag_scale = toeplitz_diag_scale(v)
-    A_mean = make_A_mean(ws, toeplitz, sigmasq)
-    M_inv = make_jacobi_precond(ws, sigmasq, diag_scale=diag_scale)
-
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
-    res_mean = pcg(A_mean, rhs, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
+
+    A_dense = P_dense = None
+    if resolve_solver(solver, mtot, d) == "dense":
+        A_dense = dense_gram(ws, v, mtot, d, sigmasq)
+        P_dense = dense_inverse(A_dense)
+        res_mean = refine_solve(A_dense, P_dense, rhs, tol=cg_tol)
+    else:
+        A_mean = make_A_mean(ws, toeplitz, sigmasq)
+        M_inv = make_jacobi_precond(ws, sigmasq, diag_scale=diag_scale)
+        res_mean = pcg(A_mean, rhs, tol=cg_tol, maxiter=max_cg_iter,
+                       M_inv=M_inv)
     state = FitState(beta=res_mean.x, ws=ws, h=h, sigmasq=sigmasq,
                      toeplitz=toeplitz, mean_cg_iters=res_mean.iters,
-                     diag_scale=diag_scale, mtot=mtot, d=d)
+                     diag_scale=diag_scale, A_dense=A_dense, P_dense=P_dense,
+                     mtot=mtot, d=d)
 
     mean = predict_mean(state, xnew)
     kv, kg = jax.random.split(key)
@@ -88,7 +98,9 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     gres = gradient_with_grid(x, y, kernel, sigmasq, h, kg, mtot=mtot,
                               trace_samples=trace_samples,
                               cg_tol=grad_cg_tol, max_cg_iter=max_cg_iter,
-                              beta0=res_mean.x, ws_mask=ws_mask)
+                              beta0=res_mean.x, ws_mask=ws_mask,
+                              solver=solver)
     return FusedResult(mean=mean, var=var, grad=gres.grad, beta=res_mean.x,
                        mean_cg_iters=res_mean.iters,
-                       trace_cg_iters=gres.trace_cg_iters)
+                       trace_cg_iters=gres.trace_cg_iters,
+                       mean_converged=res_mean.converged)

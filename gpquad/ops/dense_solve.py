@@ -1,0 +1,140 @@
+"""Dense Gram factor-solve with iterative refinement (TPU-first solver).
+
+The reference solves every system iteratively with CG (reference:
+cg.py:5-261, efgpnd.py:807-814).  On TPU the EFGP Gram matrix
+``A = D T D + sigma^2 I`` is *small by construction* (``M = mtot^d`` with
+``mtot ~ O(10-100)``), dense linear algebra is MXU-native, and every solve
+in the model — the mean system, all trace-probe systems, and all
+posterior-variance systems — shares the same ``A``.  So for moderate ``M``
+the right TPU program is: materialize ``A`` once from the Toeplitz lag
+table, invert it once on the MXU, and answer each right-hand side with a
+matmul plus a couple of iterative-refinement passes:
+
+    x_0 = P b,   x_{k+1} = x_k + P (b - A x_k),   P = inv(A) in f32.
+
+With ``P`` accurate to ~cond(A) * 2^-24 each pass contracts the error by
+~30-100x (measured ~40x on the headline benchmark config), so two passes
+reach the f32 residual floor that CG needs hundreds of iterations to
+approach — the bench config's mean solve took 828 CG iterations at
+tol=1e-6 and still left a 2e-4 posterior-mean error; the refined dense
+solve reaches ~5e-5 in three matmuls.  Cost: O(M^2) memory and one O(M^3)
+inversion, both trivial on the MXU for M up to a few thousand; beyond
+``DENSE_SOLVER_MAX_M`` callers fall back to CG.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import CGResult
+from .chol import hpd_inverse
+
+__all__ = [
+    "DENSE_SOLVER_MAX_M",
+    "dense_lag_gather_indices",
+    "dense_toeplitz",
+    "dense_gram",
+    "dense_inverse",
+    "refine_solve",
+]
+
+# Above this the O(M^2) matrix (and O(M^3) inversion) stops being "free";
+# 4096^2 complex64 = 128 MB, inversion ~3e11 flops — still fine on a v5e,
+# while CG's advantage only appears well beyond it.
+DENSE_SOLVER_MAX_M = 4096
+
+
+def dense_lag_gather_indices(mtot: int, d: int) -> np.ndarray:
+    """Flat indices into the ``(2*mtot-1,)*d`` lag table ``v`` such that
+    ``T[j, k] = v.ravel()[idx[j, k]]`` reproduces the multilevel Toeplitz
+    Gram ``T = F* F`` (``T[j,k] = v[j - k]`` with ``v`` the convolution
+    vector of ops/operators.convolution_vector; reference builds the same
+    lag table at efgpnd.py:1395-1421 and only ever applies it via FFT).
+
+    Host-side (numpy, trace-time constant): the index table is static for
+    a static grid size.
+    """
+    L = 2 * mtot - 1
+    g1 = np.arange(mtot)
+    grids = np.meshgrid(*([g1] * d), indexing="ij")
+    multi = np.stack([g.ravel() for g in grids], axis=-1)      # (M, d)
+    lag = multi[:, None, :] - multi[None, :, :] + (mtot - 1)   # (M, M, d)
+    idx = lag[..., 0]
+    for t in range(1, d):
+        idx = idx * L + lag[..., t]
+    return idx.astype(np.int32)
+
+
+def dense_toeplitz(v: jnp.ndarray, mtot: int, d: int) -> jnp.ndarray:
+    """Materialize the (M, M) dense Gram ``T = F* F`` from the lag table
+    ``v`` of shape ``(2*mtot-1,)*d`` (as returned by convolution_vector
+    with ``m = (mtot-1)//2``, i.e. a ``(4m+1)^d`` table)."""
+    idx = jnp.asarray(dense_lag_gather_indices(mtot, d))
+    return v.reshape(-1)[idx]
+
+
+def dense_gram(ws: jnp.ndarray, v: jnp.ndarray, mtot: int, d: int,
+               sigmasq) -> jnp.ndarray:
+    """Dense ``A = D T D + sigma^2 I`` (the mean-solve operator,
+    reference create_A_mean, efgpnd.py:1593-1600)."""
+    T = dense_toeplitz(v, mtot, d)
+    M = T.shape[0]
+    A = ws[:, None] * T * jnp.conj(ws)[None, :]
+    return A + sigmasq * jnp.eye(M, dtype=A.dtype)
+
+
+def dense_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """f32 inverse of the (Hermitian-PD) dense operator on the MXU.
+
+    Uses the in-repo precision-controlled blocked Cholesky (ops/chol.py):
+    XLA:TPU's ``jnp.linalg.inv``/``cholesky`` custom calls run internal
+    matmuls at bf16-pass precision and return garbage at cond ~ 1e5+.
+    """
+    return hpd_inverse(A)
+
+
+def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
+                 passes: int = 3, tol: float = 1e-6,
+                 x0: Optional[jnp.ndarray] = None,
+                 scale: Optional[jnp.ndarray] = None) -> CGResult:
+    """Solve ``(scale * A) x = b`` by applying ``P = inv(A)`` with
+    ``passes`` rounds of iterative refinement.
+
+    ``b``: (M,) or (B, M); ``scale``: optional scalar (e.g. 1/sigma^2 turns
+    the mean operator into the variance operator ``A_var = A / sigma^2``,
+    reference create_A_var efgpnd.py:1602-1609, reusing the same inverse).
+
+    Returns a :class:`CGResult` for drop-in compatibility with ``pcg``:
+    ``iters`` = refinement passes, ``converged``/``resnorm`` from one extra
+    (cheap, dense) matvec so callers report honest convergence.
+    """
+    single = b.ndim == 1
+    B = jnp.atleast_2d(b)
+    inv_scale = 1.0 if scale is None else 1.0 / scale
+    HI = jax.lax.Precision.HIGHEST   # TPU default is bf16 passes — useless
+                                     # for residuals at cond ~ 1e5
+
+    def solve_once(r):
+        return jnp.matmul(r, P.T, precision=HI)
+
+    def matvec(x):
+        Ax = jnp.matmul(x, A.T, precision=HI)
+        return Ax if scale is None else Ax * scale
+
+    x = solve_once(B) * inv_scale if x0 is None else jnp.atleast_2d(x0)
+    for _ in range(passes):
+        r = B - matvec(x)
+        x = x + solve_once(r) * inv_scale
+
+    r = B - matvec(x)
+    rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=-1))
+    bn = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=-1))
+    converged = (rn / jnp.where(bn > 0, bn, 1.0) < tol) | (rn < 1e-12)
+    iters = jnp.asarray(passes, jnp.int32)
+    conv_iters = jnp.where(converged, passes, passes).astype(jnp.int32)
+    if single:
+        return CGResult(x[0], iters, converged[0], rn[0], conv_iters[0])
+    return CGResult(x, iters, converged, rn, conv_iters)
