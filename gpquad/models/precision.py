@@ -1,0 +1,196 @@
+"""High-precision (df64) EFGP fit and posterior mean.
+
+``precision="high"`` path: posterior mean agreeing with the f64 dense
+oracle to ~1e-6..1e-7 on f32-only TPU hardware (BASELINE.md's "eps=1e-6
+agreement" target; the reference gets this for free by running f64 on
+CPU, verify_efgpnd_exact_small.py:19-24).
+
+Error budget, from the measured error decomposition of the f32 path:
+the posterior-mean error is dominated by the *solve* — a CG/IR solution
+with relative residual r leaves ~180 r in the mean (cond(A) ~ 6e5) — and
+secondarily by the rhs/operator accuracy (~50x amplification).  So:
+
+- quadrature weights ``ws`` and the grid spacing ``h`` are computed on the
+  HOST in f64 (hypers are concrete at this level) and shipped as (hi, lo)
+  f32 pairs — only real arrays cross the axon boundary;
+- ``b = D F* y`` and the Toeplitz lag table come from the df64 NUFFT
+  (ops/nufft_df.py), ~1e-9 relative;
+- the dense operator ``A`` is assembled in df64 and the solve runs
+  iterative refinement with df64 residual matvecs against the f32
+  Cholesky inverse (ops/chol.py) — the refined beta converges to the f32
+  representation floor (~1e-8 relative; measured contraction ~15x/pass);
+- the posterior mean evaluates through the df64 type-2.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.chol import hpd_inverse
+from ..ops.dense_solve import dense_lag_gather_indices
+from ..ops.df64 import df_add, df_mul, df_mul_f, df_sub, df_sum_tree
+from ..ops.nufft_df import df_nufft1, df_nufft2_real, split_f64_host
+from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
+from .efgp import FitState, tensor_grid
+
+__all__ = ["HighState", "ws_host_f64", "fit_high", "predict_mean_high"]
+
+_HI = lax.Precision.HIGHEST
+
+
+class HighState(NamedTuple):
+    """f32 fit artifacts plus the df64 low words needed for high-precision
+    prediction."""
+    state: FitState
+    ws_lo: jnp.ndarray      # (M,) f32 low word of the f64 quadrature weights
+    h_lo: jnp.ndarray       # scalar f32 low word of the f64 grid spacing
+
+
+def _spectral_density_np(kernel, xi: np.ndarray) -> np.ndarray:
+    """Host f64 spectral density for the closed-form kernels (mirrors
+    kernels/squared_exponential.py:32-38 and kernels/matern.py:57-69 in
+    numpy; reference formulas kernels/squared_exponential.py:64-91,
+    kernels/matern.py:100-123)."""
+    import math
+
+    from ..kernels import Matern, SquaredExponential
+    l = float(kernel.lengthscale)
+    v = float(kernel.variance)
+    d = xi.shape[1]
+    nsq = np.sum(xi * xi, axis=1)
+    if isinstance(kernel, SquaredExponential):
+        return (2.0 * np.pi * l * l) ** (d / 2.0) * v * np.exp(
+            -2.0 * np.pi ** 2 * l * l * nsq)
+    if isinstance(kernel, Matern):
+        nu = kernel.nu
+        scaling = ((2.0 * math.sqrt(math.pi)) ** d
+                   * math.gamma(nu + d / 2.0) * (2.0 * nu) ** nu
+                   / math.gamma(nu)) / l ** (2.0 * nu)
+        base = 2.0 * nu / (l * l) + 4.0 * np.pi ** 2 * nsq
+        return v * scaling * base ** (-(nu + d / 2.0))
+    raise TypeError(
+        f"precision='high' needs a host-f64 spectral density; "
+        f"unsupported kernel type {type(kernel).__name__}")
+
+
+def ws_host_f64(kernel, h64: float, mtot: int, d: int):
+    """f64 quadrature weights on the host, split into (hi, lo) f32 pairs."""
+    m = (mtot - 1) // 2
+    k1 = np.arange(-m, m + 1, dtype=np.float64) * h64
+    grids = np.meshgrid(*([k1] * d), indexing="ij")
+    xi = np.stack([g.ravel() for g in grids], axis=-1)
+    ws = np.sqrt(_spectral_density_np(kernel, xi) * h64 ** d)
+    return split_f64_host(ws)
+
+
+def _df_dense_matvec(Are, Aim, x: jnp.ndarray):
+    """df64 matvec of the dense df64 operator against a complex64 vector:
+    exact two-products elementwise + compensated pairwise reduction."""
+    xr, xi_ = jnp.real(x), jnp.imag(x)
+    t_re = df_sub(df_mul_f(Are, xr[None, :]), df_mul_f(Aim, xi_[None, :]))
+    t_im = df_add(df_mul_f(Are, xi_[None, :]), df_mul_f(Aim, xr[None, :]))
+    return df_sum_tree(t_re, axis=1), df_sum_tree(t_im, axis=1)
+
+
+@partial(jax.jit, static_argnames=("mtot", "passes", "chunk"))
+def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
+                   mtot: int, passes: int, chunk: int):
+    n, d = x.shape
+    m = (mtot - 1) // 2
+    h_df = (h_hi, h_lo)
+    ws_df = (ws_hi, ws_lo)
+    M = mtot ** d
+
+    # rhs b = D F* y in df64
+    Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
+    b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
+
+    # Toeplitz lag table in df64 -> dense df64 operator
+    ones = jnp.ones((n,), x.dtype)
+    v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    idx = jnp.asarray(dense_lag_gather_indices(mtot, d))
+    row = (ws_hi[:, None], ws_lo[:, None])
+    col = (ws_hi[None, :], ws_lo[None, :])
+    T_re = (jnp.real(v_hi)[idx], jnp.real(v_lo)[idx])
+    T_im = (jnp.imag(v_hi)[idx], jnp.imag(v_lo)[idx])
+    Are = df_mul(df_mul(T_re, row), col)
+    Aim = df_mul(df_mul(T_im, row), col)
+    eye = jnp.eye(M, dtype=x.dtype)
+    Are = df_add(Are, (sig_hi * eye, sig_lo * eye))
+
+    # f32 inverse of the hi word; IR with df64 residuals
+    A_c = lax.complex(Are[0], Aim[0])
+    P = hpd_inverse(A_c)
+    b_c = lax.complex(b_re[0], b_im[0])
+    beta = jnp.matmul(P, b_c, precision=_HI)
+    for _ in range(passes):
+        Ax_re, Ax_im = _df_dense_matvec(Are, Aim, beta)
+        rr = df_sub(b_re, Ax_re)
+        ri = df_sub(b_im, Ax_im)
+        r = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
+        beta = beta + jnp.matmul(P, r, precision=_HI)
+
+    # final true-residual report (df64-accurate)
+    Ax_re, Ax_im = _df_dense_matvec(Are, Aim, beta)
+    rr = df_sub(b_re, Ax_re)
+    ri = df_sub(b_im, Ax_im)
+    res = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2 + (ri[0] + ri[1]) ** 2))
+    bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
+
+    # f32 companion artifacts so the ordinary predict_var paths work
+    reshape = (4 * m + 1,) * d
+    v_c = lax.complex(jnp.real(v_hi), jnp.imag(v_hi)).reshape(reshape)
+    toeplitz = make_toeplitz(v_c)
+    ws_c = ws_hi.astype(A_c.dtype)
+    state = FitState(beta=beta, ws=ws_c, h=h_hi, sigmasq=sig_hi,
+                     toeplitz=toeplitz, mean_cg_iters=jnp.asarray(
+                         passes, jnp.int32),
+                     diag_scale=toeplitz_diag_scale(v_c),
+                     A_dense=A_c, P_dense=P, mtot=mtot, d=d)
+    return state, res / bn
+
+
+def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
+             chunk: int = 64) -> HighState:
+    """High-precision fit.  ``h``, ``sigmasq`` and the kernel hypers must
+    be concrete (host f64 planning values), not jit tracers."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    d = x.shape[1]
+    h64 = float(h)
+    ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, d)
+    h_hi, h_lo = split_f64_host(h64)
+    sig_hi, sig_lo = split_f64_host(float(sigmasq))
+    state, _ = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo,
+                              sig_hi, sig_lo, mtot=mtot, passes=passes,
+                              chunk=chunk)
+    return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo)
+
+
+@partial(jax.jit, static_argnames=("mtot", "d", "slab"))
+def _predict_high_jit(x_new, beta, ws_hi, ws_lo, h_hi, h_lo, *, mtot: int,
+                      d: int, slab: int = 2048):
+    ws_df = (ws_hi, ws_lo)
+    c_re = df_mul_f(ws_df, jnp.real(beta))
+    c_im = df_mul_f(ws_df, jnp.imag(beta))
+    hi, lo = df_nufft2_real(x_new, c_re, c_im, (h_hi, h_lo), mtot,
+                            slab=slab)
+    return hi + lo
+
+
+def predict_mean_high(hs: HighState, x_new, *, slab: int = 2048):
+    """Posterior mean via the df64 type-2 (reference predict mean apply,
+    efgpnd.py:918-922, at f64-oracle accuracy)."""
+    x_new = jnp.asarray(x_new)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    st = hs.state
+    return _predict_high_jit(x_new, st.beta, jnp.real(st.ws), hs.ws_lo,
+                             st.h, hs.h_lo, mtot=st.mtot, d=st.d, slab=slab)

@@ -1,0 +1,212 @@
+"""Double-word ("double-float", df64) arithmetic primitives.
+
+TPUs have no native f64 (axon silently truncates); the EFGP accuracy
+target — posterior mean agreeing with the f64 dense oracle to ~1e-6 —
+requires residuals and right-hand sides accurate well below the f32
+random-walk floor.  A double-word number is an unevaluated sum
+``hi + lo`` of two machine floats with ``|lo| <= ulp(hi)/2``; sums and
+products built from the classic error-free transformations (Dekker 1971,
+Knuth TAOCP 4.2.2) carry ~2x the mantissa (~48 bits in f32 pairs).
+
+All functions operate on (hi, lo) tuples of equal-shape arrays and are
+dtype-generic: f32 pairs on TPU (~1e-14 unit roundoff), f64 pairs in the
+CPU x64 test suite (~1e-32), which lets the same code be oracle-tested
+against mpmath-free numpy f64.
+
+The reference has no analogue (it runs f64 on CPU/CUDA throughout, e.g.
+pg_classifier.py:1094 defaults dtype float64); this module is what makes
+the f64-grade numbers reachable on TPU hardware.
+"""
+from __future__ import annotations
+
+from decimal import Decimal, getcontext
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "two_sum", "quick_two_sum", "split", "two_prod",
+    "df_add", "df_sub", "df_mul", "df_mul_f", "df_neg", "df_from",
+    "df_sum_tree", "df_sincos_2pi",
+]
+
+DF = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# error-free transformations
+# ---------------------------------------------------------------------------
+
+def two_sum(a, b) -> DF:
+    """s + e == a + b exactly (Knuth; 6 flops, branch-free).
+
+    Valid componentwise, so complex arrays work too (addition never mixes
+    real/imaginary parts).
+    """
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b) -> DF:
+    """s + e == a + b exactly, REQUIRES |a| >= |b| (3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split_factor(dtype) -> float:
+    # 2^ceil(p/2) + 1: 4097 for f32 (p=24), 2^27+1 for f64 (p=53)
+    return 4097.0 if jnp.dtype(dtype) == jnp.float32 else 134217729.0
+
+
+def split(a) -> DF:
+    """Dekker split of ``a`` into high/low half-mantissa parts (exact)."""
+    c = jnp.asarray(_split_factor(a.dtype), a.dtype) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b) -> DF:
+    """p + e == a * b exactly (Dekker two-product via splits; real only)."""
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# double-word arithmetic
+# ---------------------------------------------------------------------------
+
+def df_from(a) -> DF:
+    return a, jnp.zeros_like(a)
+
+
+def df_neg(x: DF) -> DF:
+    return -x[0], -x[1]
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    return quick_two_sum(s, e)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    p, e = two_prod(x[0], y[0])
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    return quick_two_sum(p, e)
+
+
+def df_mul_f(x: DF, s) -> DF:
+    """df64 times a plain float array."""
+    p, e = two_prod(x[0], s)
+    e = e + x[1] * s
+    return quick_two_sum(p, e)
+
+
+def df_sum_tree(x: DF, axis: int = 0) -> DF:
+    """Compensated pairwise reduction of a df64 array along ``axis``.
+
+    Accumulation error stays ~unit-roundoff-of-df64 regardless of length
+    (vs the f32 sqrt(n) random walk this module exists to avoid).
+    """
+    hi, lo = x
+    hi = jnp.moveaxis(hi, axis, 0)
+    lo = jnp.moveaxis(lo, axis, 0)
+    n = hi.shape[0]
+    while n > 1:
+        half = n // 2
+        s, e = two_sum(hi[:half], hi[half:2 * half])
+        e = e + (lo[:half] + lo[half:2 * half])
+        s, e = quick_two_sum(s, e)
+        if n % 2:
+            s0, e0 = two_sum(s[:1], hi[n - 1:n])
+            e0 = e0 + (e[:1] + lo[n - 1:n])
+            s0, e0 = quick_two_sum(s0, e0)
+            s = jnp.concatenate([s0, s[1:]], axis=0)
+            e = jnp.concatenate([e0, e[1:]], axis=0)
+        hi, lo = s, e
+        n = half
+    return hi[0], lo[0]
+
+
+# ---------------------------------------------------------------------------
+# sin/cos of 2*pi*cycles to df64 accuracy
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _sincos_coeffs(dtype_name: str):
+    """df64-split Taylor coefficients of sin(2 pi r), cos(2 pi r) computed
+    at 50 decimal digits; after the |r| <= 1/8 range reduction the series
+    truncates below 1e-14 (f32 pairs) at these orders."""
+    getcontext().prec = 50
+    two_pi = Decimal(2) * Decimal(
+        "3.14159265358979323846264338327950288419716939937510")
+    fact = [Decimal(1)]
+    for i in range(1, 20):
+        fact.append(fact[-1] * i)
+    sin_c = [(-1) ** k * two_pi ** (2 * k + 1) / fact[2 * k + 1]
+             for k in range(8)]     # r^1 .. r^15
+    cos_c = [(-1) ** k * two_pi ** (2 * k) / fact[2 * k]
+             for k in range(9)]     # r^0 .. r^16
+    np_dtype = np.float32 if dtype_name == "float32" else np.float64
+
+    def dsplit(dec):
+        hi = np_dtype(float(dec))
+        lo = np_dtype(float(dec - Decimal(float(hi))))
+        return float(hi), float(lo)
+
+    return tuple(dsplit(c) for c in sin_c), tuple(dsplit(c) for c in cos_c)
+
+
+def df_sincos_2pi(c: DF) -> Tuple[DF, DF]:
+    """(sin(2 pi c), cos(2 pi c)) as df64 pairs, for cycles ``c`` in
+    roughly [-0.5, 0.5] (a couple of ulps beyond is fine).
+
+    Reduction: q = round(4 c) in {-2..2}, r = c - q/4 with |r| <= 1/8
+    (the f32 subtraction is exact by Sterbenz), then Taylor in df64 and
+    quadrant reconstruction.
+    """
+    dtype = c[0].dtype
+    sin_c, cos_c = _sincos_coeffs(jnp.dtype(dtype).name)
+    q = jnp.round(4.0 * c[0])
+    r = quick_two_sum(c[0] - 0.25 * q, c[1])
+
+    s2 = df_mul(r, r)
+    cst = lambda v: (jnp.asarray(v[0], dtype), jnp.asarray(v[1], dtype))
+
+    p = cst(sin_c[-1])
+    for k in range(len(sin_c) - 2, -1, -1):
+        p = df_add(df_mul(p, s2), cst(sin_c[k]))
+    sin_r = df_mul(r, p)
+
+    p = cst(cos_c[-1])
+    for k in range(len(cos_c) - 2, -1, -1):
+        p = df_add(df_mul(p, s2), cst(cos_c[k]))
+    cos_r = p
+
+    # quadrant: sin(theta + q pi/2), cos(theta + q pi/2)
+    q1 = jnp.abs(q) == 1
+    q2 = jnp.abs(q) == 2
+    sgnq = jnp.sign(q).astype(dtype)
+
+    def pick(plain, quarter, half):
+        hi = jnp.where(q2, half[0], jnp.where(q1, quarter[0], plain[0]))
+        lo = jnp.where(q2, half[1], jnp.where(q1, quarter[1], plain[1]))
+        return hi, lo
+
+    sin_out = pick(sin_r, (sgnq * cos_r[0], sgnq * cos_r[1]),
+                   df_neg(sin_r))
+    cos_out = pick(cos_r, (-sgnq * sin_r[0], -sgnq * sin_r[1]),
+                   df_neg(cos_r))
+    return sin_out, cos_out

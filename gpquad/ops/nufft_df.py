@@ -1,0 +1,196 @@
+"""Double-word (df64) accurate NUFFT applies for the high-precision path.
+
+The f32 MXU NUFFT (ops/nufft.py) lands at ~2e-7 relative accuracy — the
+compound of per-term f32 product rounding and the matmul accumulator's
+random walk.  For the eps=1e-6 agreement target the right-hand side
+``D F* y``, the Toeplitz lag table, and the posterior-mean evaluation all
+need ~1e-9 relative accuracy.  Recipe (d <= 2):
+
+- **Phases to df64**: ``t = x h`` and ``t k`` via error-free two-products,
+  folded onto the unit torus exactly, then ``sin/cos(2 pi c)`` by the df64
+  polynomial (ops/df64.df_sincos_2pi, ~6e-15 absolute).  The phase matrix
+  is carried as a (hi, lo) complex64 pair.
+- **Type-1 on the MXU**: expand ``(E1_hi + E1_lo) v (E2_hi + E2_lo)`` —
+  the hi*hi term is chunked into 64-point partial matmuls
+  (``precision=HIGHEST``) reduced with the compensated pairwise df64 tree,
+  which caps the accumulator random walk at the chunk scale; the
+  2^-24-scale cross terms accumulate in plain f32 (their rounding is
+  2^-48-scale).  Per-term product rounding remains (random, ~6e-8 of each
+  term) but averages to ~1e-9..1e-8 of the output across n >= 1e4 points.
+- **Type-2 on the VPU**: target counts are small, so the mode contraction
+  runs fully elementwise in df64 (exact two-products + pairwise reduce),
+  slabbed over targets to bound memory.
+
+Conventions match ops/nufft.py (FINUFFT modeord=False, type1 isign=-1,
+type2 isign=+1; reference efgpnd.py:1496-1548).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .df64 import (df_add, df_mul, df_sincos_2pi, df_sub, df_sum_tree,
+                   quick_two_sum, two_prod, two_sum)
+
+__all__ = ["df_phase_factors", "df_nufft1", "df_nufft2_real",
+           "split_f64_host"]
+
+_HI = lax.Precision.HIGHEST
+
+
+def split_f64_host(value, dtype=jnp.float32):
+    """Split host f64 scalars/arrays into a (hi, lo) pair of ``dtype``
+    (only REAL arrays cross the axon host boundary)."""
+    import numpy as np
+    v = np.asarray(value, np.float64)
+    hi = v.astype(np.dtype(jnp.dtype(dtype).name))
+    lo = (v - hi.astype(np.float64)).astype(hi.dtype)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _df_cycles(x_dim: jnp.ndarray, h_df, k: jnp.ndarray):
+    """cycles = (x * h * k) mod 1 as a df64 pair, shape (n, mtot).
+
+    ``x`` and ``k`` are exact f32; ``h`` is a df64 pair of the planner's
+    f64 spacing, so the frequency grid matches the f64 oracle's bit-level.
+    """
+    th, e1 = two_prod(x_dim, h_df[0])
+    tl = e1 + x_dim * h_df[1]
+    th, tl = quick_two_sum(th, tl)
+    # fold t onto the torus before multiplying by k (keeps |p| small)
+    r = jnp.round(th)
+    th = th - r                                   # exact (Sterbenz)
+    p, e2 = two_prod(th[:, None], k[None, :])
+    plo = e2 + tl[:, None] * k[None, :]
+    c = p - jnp.round(p)                          # exact
+    c, cl = two_sum(c, plo)
+    # one more fold in case c + plo crossed +-0.5
+    r = jnp.round(c)
+    return c - r, cl
+
+
+def df_phase_factors(x_dim: jnp.ndarray, h_df, mtot: int, *, isign: int):
+    """Per-dimension df64 phase matrix ``exp(isign * 2 pi i x h k)`` as a
+    (hi, lo) complex pair, plus the raw (cos, sin) df pairs."""
+    rdtype = x_dim.dtype
+    m = (mtot - 1) // 2
+    k = jnp.arange(-m, m + 1, dtype=rdtype)
+    c = _df_cycles(x_dim, h_df, k)
+    sin_df, cos_df = df_sincos_2pi(c)
+    s = float(isign)
+    E_hi = lax.complex(cos_df[0], s * sin_df[0])
+    E_lo = lax.complex(cos_df[1], s * sin_df[1])
+    return (E_hi, E_lo), cos_df, (s * sin_df[0], s * sin_df[1])
+
+
+def _pad_pow2_chunks(n: int, chunk: int) -> int:
+    nc = -(-n // chunk)
+    return nc * chunk
+
+
+def df_nufft1(x: jnp.ndarray, vals: jnp.ndarray, h_df, mtot: int, *,
+              chunk: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """df64-accurate type-1 (adjoint) apply ``F* vals`` on the symmetric
+    mode grid; returns a flat (mtot^d,) complex64 (hi, lo) pair.  d <= 2.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    if d > 2:
+        raise NotImplementedError(
+            "df64 NUFFT supports d <= 2 (high-precision path)")
+    rdtype = x.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+    npad = _pad_pow2_chunks(n, chunk)
+    if npad != n:
+        x = jnp.concatenate([x, jnp.zeros((npad - n, d), rdtype)], axis=0)
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((npad - n,), vals.dtype)], axis=0)
+    v = vals.astype(cdtype)
+    nc = npad // chunk
+
+    (E1_hi, E1_lo), _, _ = df_phase_factors(x[:, 0], h_df, mtot, isign=-1)
+    if d == 1:
+        main = jnp.einsum("cn,cnj->cj", v.reshape(nc, chunk),
+                          E1_hi.reshape(nc, chunk, mtot), precision=_HI)
+        cross = jnp.einsum("cn,cnj->cj", v.reshape(nc, chunk),
+                           E1_lo.reshape(nc, chunk, mtot), precision=_HI)
+        hi, lo = df_sum_tree((main, jnp.zeros_like(main)), axis=0)
+        return df_add((hi, lo), (jnp.sum(cross, axis=0),
+                                 jnp.zeros_like(hi)))
+
+    (E2_hi, E2_lo), _, _ = df_phase_factors(x[:, 1], h_df, mtot, isign=-1)
+    w_hi = (E1_hi * v[:, None]).reshape(nc, chunk, mtot)
+    w_lo = (E1_lo * v[:, None]).reshape(nc, chunk, mtot)
+    e2_hi = E2_hi.reshape(nc, chunk, mtot)
+    e2_lo = E2_lo.reshape(nc, chunk, mtot)
+    main = jnp.einsum("cnj,cnk->cjk", w_hi, e2_hi, precision=_HI)
+    cross = (jnp.einsum("cnj,cnk->cjk", w_hi, e2_lo, precision=_HI)
+             + jnp.einsum("cnj,cnk->cjk", w_lo, e2_hi, precision=_HI))
+    hi, lo = df_sum_tree((main, jnp.zeros_like(main)), axis=0)
+    out = df_add((hi, lo), (jnp.sum(cross, axis=0), jnp.zeros_like(hi)))
+    return out[0].reshape(-1), out[1].reshape(-1)
+
+
+def _cdf_mul(xr, xi, yr, yi):
+    """Complex df64 product on (re, im) df pairs."""
+    re = df_sub(df_mul(xr, yr), df_mul(xi, yi))
+    im = df_add(df_mul(xr, yi), df_mul(xi, yr))
+    return re, im
+
+
+def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
+                   slab: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """df64-accurate real part of the type-2 apply ``Re(F c)`` at targets.
+
+    ``c_re``/``c_im``: df64 pairs of the (mtot,)*d mode coefficients.
+    Fully elementwise df64 (exact products), slabbed over targets. d <= 2.
+    """
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    nt, d = x_new.shape
+    if d > 2:
+        raise NotImplementedError(
+            "df64 NUFFT supports d <= 2 (high-precision path)")
+    rdtype = x_new.dtype
+    npad = _pad_pow2_chunks(nt, slab)
+    if npad != nt:
+        x_new = jnp.concatenate(
+            [x_new, jnp.zeros((npad - nt, d), rdtype)], axis=0)
+    shape = (mtot,) * d
+    cr = (c_re[0].reshape(shape), c_re[1].reshape(shape))
+    ci = (c_im[0].reshape(shape), c_im[1].reshape(shape))
+
+    def one_slab(xs):
+        _, cos1, sin1 = df_phase_factors(xs[:, 0], h_df, mtot, isign=+1)
+        if d == 1:
+            tr, ti = _cdf_mul((cr[0][None, :], cr[1][None, :]),
+                              (ci[0][None, :], ci[1][None, :]),
+                              cos1_b(cos1), sin1_b(sin1))
+            return df_sum_tree(tr, axis=-1)
+        _, cos2, sin2 = df_phase_factors(xs[:, 1], h_df, mtot, isign=+1)
+        # stage 1: contract modes k (last axis) against dim-2 phases
+        c2r = (cos2[0][:, None, :], cos2[1][:, None, :])
+        c2i = (sin2[0][:, None, :], sin2[1][:, None, :])
+        tr, ti = _cdf_mul((cr[0][None, :, :], cr[1][None, :, :]),
+                          (ci[0][None, :, :], ci[1][None, :, :]),
+                          c2r, c2i)
+        tr = df_sum_tree(tr, axis=-1)           # (s, mtot) df
+        ti = df_sum_tree(ti, axis=-1)
+        # stage 2: contract modes j against dim-1 phases; real part only
+        rr, _ = _cdf_mul(tr, ti, cos1, sin1)
+        return df_sum_tree(rr, axis=-1)         # (s,) df
+
+    def cos1_b(cs):
+        return (cs[0][:, None], cs[1][:, None])
+
+    def sin1_b(sn):
+        return (sn[0][:, None], sn[1][:, None])
+
+    slabs = x_new.reshape(-1, slab, d)
+    hi, lo = lax.map(one_slab, slabs)
+    return hi.reshape(-1)[:nt], lo.reshape(-1)[:nt]
