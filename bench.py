@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--lengthscale", type=float, default=0.1)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-accuracy", action="store_true")
+    ap.add_argument("--nufft-method", default="mxu",
+                    choices=["mxu", "pallas", "banded"],
+                    help="NUFFT backend for the fused pass (banded wins at "
+                         "very large mtot)")
     args = ap.parse_args()
 
     import jax
@@ -77,12 +81,18 @@ def main():
         per-leaf reads cost ~28 ms dispatch each through the tunnel)."""
         return float(_reduce_tree(arrays))
 
+    nufft_caps = None
+    if args.nufft_method == "banded":
+        from gpquad.models.efgp import plan_nufft_caps
+        nufft_caps = plan_nufft_caps(x, float(h), int(mtot))
+
     def fused():
         return fit_predict_grad(
             x, y, xnew, kernel, sigmasq, h, key, mtot=mtot,
             trace_samples=args.trace_samples, var_probes=args.probes,
             cg_tol=1e-6, var_cg_tol=1e-4, grad_cg_tol=1e-4,
-            max_cg_iter=1000, var_max_cg_iter=400)
+            max_cg_iter=1000, var_max_cg_iter=400,
+            nufft_method=args.nufft_method, nufft_caps=nufft_caps)
 
     t0 = time.time()
     out = fused()
@@ -154,6 +164,7 @@ def main():
         "mean_cg_iters": int(out.mean_cg_iters),
         "mean_cg_converged": bool(np.asarray(out.mean_converged)),
         "solver": resolve_solver("auto", mtot, d),
+        "nufft_method": args.nufft_method,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

@@ -117,6 +117,7 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                   beta0: Optional[jnp.ndarray] = None,
                   use_precond: bool = True, ws_mask=None,
                   nufft_method: str = "mxu",
+                  nufft_caps: Optional[tuple] = None,
                   solver: str = "auto") -> FitState:
     """Fit against a fixed (static-size) frequency grid, compiled with XLA.
 
@@ -129,21 +130,38 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
     must live inside a compiled program; only real arrays cross the host
     boundary.
     """
+    if nufft_method == "banded" and nufft_caps is None:
+        nufft_caps = plan_nufft_caps(x, h, mtot)
     return _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask,
                               mtot=mtot, cg_tol=cg_tol,
                               max_cg_iter=max_cg_iter,
                               use_precond=use_precond,
-                              nufft_method=nufft_method, solver=solver)
+                              nufft_method=nufft_method,
+                              nufft_caps=nufft_caps, solver=solver)
+
+
+def plan_nufft_caps(x, h, mtot: int) -> tuple:
+    """Host-side static band caps for the banded backend: (fit grid,
+    doubled convolution-vector grid).  Requires concrete ``x``/``h``."""
+    from ..ops.spread_banded import banded_plan_cap
+    import numpy as np
+    xh = np.asarray(x)
+    if xh.ndim == 1:
+        xh = xh[:, None]
+    m = (mtot - 1) // 2
+    return (banded_plan_cap(xh, float(h), mtot),
+            banded_plan_cap(xh, float(h), 4 * m + 1))
 
 
 @partial(jax.jit,
          static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond",
-                          "nufft_method", "solver"))
+                          "nufft_method", "nufft_caps", "solver"))
 def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        mtot: int, cg_tol: float,
                        max_cg_iter: Optional[int],
                        use_precond: bool,
                        nufft_method: str = "mxu",
+                       nufft_caps: Optional[tuple] = None,
                        solver: str = "auto") -> FitState:
     if x.ndim == 1:
         x = x[:, None]
@@ -159,10 +177,12 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     xis = tensor_grid(xis_1d, d)
     ws = quadrature_weights(kernel, xis, h, d, mask=ws_mask)
 
-    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method)
+    caps = nufft_caps or (None, None)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method,
+                       cap=caps[0])
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
 
-    v = convolution_vector(m, x, h, nufft_method=nufft_method)
+    v = convolution_vector(m, x, h, nufft_method=nufft_method, cap=caps[1])
     toeplitz = make_toeplitz(v)
     A_dense = P_dense = None
     if resolve_solver(solver, mtot, d) == "dense":

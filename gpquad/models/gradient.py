@@ -64,7 +64,7 @@ def _variance_index(kernel) -> Optional[int]:
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "cg_tol", "max_cg_iter", "use_mean_precond",
     "use_trace_precond", "compute_log_marginal", "log_marginal_probes",
-    "log_marginal_steps", "nufft_method", "solver"))
+    "log_marginal_steps", "nufft_method", "nufft_caps", "solver"))
 def gradient_with_grid(
         x, y, kernel, sigmasq, h, key, *, mtot: int, trace_samples: int = 10,
         cg_tol: float = 1e-3, max_cg_iter: Optional[int] = None,
@@ -73,7 +73,8 @@ def gradient_with_grid(
         probes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         compute_log_marginal: bool = False, log_marginal_probes: int = 100,
         log_marginal_steps: int = 25,
-        nufft_method: str = "mxu", solver: str = "auto") -> GradientResult:
+        nufft_method: str = "mxu", nufft_caps: Optional[tuple] = None,
+        solver: str = "auto") -> GradientResult:
     """One gradient evaluation on a fixed-size frequency grid (jitted).
 
     Stage structure mirrors reference efgpnd.py:94-289; ``ws_mask`` zeroes
@@ -117,10 +118,13 @@ def gradient_with_grid(
     M = ws.shape[0]
 
     # --- stage 2/3: NUFFT + Toeplitz + operators ---------------------------
-    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method)
+    caps = nufft_caps or (None, None)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method,
+                       cap=caps[0])
     fadj = lambda v: nufft.type1(v).reshape(v.shape[:-1] + (M,))
     fwd = lambda fk: nufft.type2(fk)
-    v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method)
+    v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method,
+                                  cap=caps[1])
     toeplitz = make_toeplitz(v_kernel)
     use_dense = resolve_solver(solver, mtot, d) == "dense"
     if use_dense:
@@ -251,6 +255,10 @@ def gradient(x, y, kernel, sigmasq, eps, key, *, trace_samples: int = 10,
     _, h, mtot = spectral_grid(kernel, eps, L, use_integral=True)
     if cg_tol is None:
         cg_tol = eps
+    if kwargs.get("nufft_method") == "banded" \
+            and kwargs.get("nufft_caps") is None:
+        from .efgp import plan_nufft_caps
+        kwargs["nufft_caps"] = plan_nufft_caps(x, h, mtot)
     return gradient_with_grid(x, y, kernel, sigmasq, h, key, mtot=mtot,
                               trace_samples=trace_samples, cg_tol=cg_tol,
                               **kwargs)

@@ -221,6 +221,10 @@ class EFGP:
                 and self._last_gradient_beta is not None \
                 and self._last_gradient_beta.shape[0] == mtot ** d:
             beta0 = self._last_gradient_beta
+        nufft_caps = None
+        if self.opts.get("nufft_method", "mxu") == "banded":
+            from .efgp import plan_nufft_caps
+            nufft_caps = plan_nufft_caps(self.x, h, mtot)
         res = gradient_with_grid(
             self.x, self.y, self.kernel, self.sigmasq, h,
             key if key is not None else self._next_key(),
@@ -229,6 +233,7 @@ class EFGP:
             use_mean_precond=self.opts.get("mean_cg_preconditioner", True),
             use_trace_precond=self.opts.get("trace_cg_preconditioner", True),
             nufft_method=self.opts.get("nufft_method", "mxu"),
+            nufft_caps=nufft_caps,
             probes=probes, compute_log_marginal=compute_log_marginal,
             log_marginal_probes=log_marginal_probes,
             log_marginal_steps=log_marginal_steps)

@@ -44,13 +44,16 @@ class FusedResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
-    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver"))
+    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver",
+    "nufft_method", "nufft_caps"))
 def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                      trace_samples: int = 10, var_probes: int = 256,
                      cg_tol: float = 1e-6, var_cg_tol: float = 1e-4,
                      grad_cg_tol: float = 1e-4, max_cg_iter: int = 1000,
                      var_max_cg_iter: Optional[int] = None,
-                     ws_mask=None, solver: str = "auto") -> FusedResult:
+                     ws_mask=None, solver: str = "auto",
+                     nufft_method: str = "mxu",
+                     nufft_caps: Optional[tuple] = None) -> FusedResult:
     """One compiled pass: mean fit + target mean/variance + one
     hyper-gradient evaluation (the BASELINE.md north-star workload)."""
     if x.ndim == 1:
@@ -68,8 +71,10 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     m = (mtot - 1) // 2
     xis = tensor_grid(jnp.arange(-m, m + 1, dtype=rdtype) * h, d)
     ws = quadrature_weights(kernel, xis, h, d, mask=ws_mask)
-    nufft = make_nufft(x, h, mtot, cdtype=cdtype)
-    v = convolution_vector(m, x, h)
+    caps = nufft_caps or (None, None)
+    nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method,
+                       cap=caps[0])
+    v = convolution_vector(m, x, h, nufft_method=nufft_method, cap=caps[1])
     toeplitz = make_toeplitz(v)
     diag_scale = toeplitz_diag_scale(v)
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
@@ -99,7 +104,8 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                               trace_samples=trace_samples,
                               cg_tol=grad_cg_tol, max_cg_iter=max_cg_iter,
                               beta0=res_mean.x, ws_mask=ws_mask,
-                              solver=solver)
+                              solver=solver, nufft_method=nufft_method,
+                              nufft_caps=nufft_caps)
     return FusedResult(mean=mean, var=var, grad=gres.grad, beta=res_mean.x,
                        mean_cg_iters=res_mean.iters,
                        trace_cg_iters=gres.trace_cg_iters,

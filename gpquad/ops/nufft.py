@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -194,7 +194,7 @@ class NUFFT:
 
 def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
                cdtype=None, fft_order: bool = False,
-               method: str = "mxu"):
+               method: str = "mxu", cap: Optional[int] = None):
     """Build the NUFFT operator for points ``x`` (N, d) on grid spacing ``h``.
 
     ``fft_order=False`` gives FINUFFT modeord=False ordering k = -m..m (the
@@ -203,8 +203,11 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     (reference efgpnd.py:1666-1679 uses modeord=True).
 
     ``method="pallas"`` (d=2, symmetric ordering only) selects the fused
-    Pallas kernels, which never materialize phase matrices in HBM — the
-    right choice for very large n * mtot.
+    Pallas kernels, which never materialize phase matrices in HBM.
+    ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free
+    banded spread/interp backend — fastest at very large mtot; its static
+    band ``cap`` is planned on the host when ``x`` is concrete, or must be
+    passed explicitly (``ops.spread_banded.banded_plan_cap``) under jit.
     """
     if x.ndim == 1:
         x = x[:, None]
@@ -216,6 +219,21 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
                 "pallas NUFFT supports d=2 with symmetric mode ordering")
         from .pallas_nufft import PallasNUFFT
         return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
+    if method == "banded":
+        if x.shape[1] != 2 or fft_order:
+            raise NotImplementedError(
+                "banded NUFFT supports d=2 with symmetric mode ordering")
+        from .spread_banded import BandedNUFFT, banded_plan_cap
+        if cap is None:
+            if isinstance(x, jax.core.Tracer) or isinstance(
+                    h, jax.core.Tracer):
+                raise ValueError(
+                    "banded NUFFT under jit needs a static band cap; plan "
+                    "it outside with ops.spread_banded.banded_plan_cap and "
+                    "pass cap=")
+            cap = banded_plan_cap(x, float(h), mtot)
+        return BandedNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
+                           cap=cap)
     if method != "mxu":
         raise ValueError(f"Unknown NUFFT method '{method}'")
     n, d = x.shape

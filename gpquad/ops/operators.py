@@ -31,7 +31,7 @@ __all__ = [
 
 
 def convolution_vector(m: int, x: jnp.ndarray, h, *, mask=None,
-                       nufft_method: str = "mxu") -> jnp.ndarray:
+                       nufft_method: str = "mxu", cap=None) -> jnp.ndarray:
     """Toeplitz lag table v[k] = sum_n exp(-2 pi i <k, h x_n>), k in
     [-2m, 2m]^d — a type-1 NUFFT with unit weights on the doubled grid
     (reference efgpnd.py:1395-1421; eps fixed there at 6e-8, here the MXU
@@ -39,7 +39,7 @@ def convolution_vector(m: int, x: jnp.ndarray, h, *, mask=None,
     if x.ndim == 1:
         x = x[:, None]
     n = x.shape[0]
-    op = make_nufft(x, h, 4 * m + 1, method=nufft_method)
+    op = make_nufft(x, h, 4 * m + 1, method=nufft_method, cap=cap)
     # real ones converted on device: the axon TPU runtime rejects eagerly
     # materialized complex host constants
     cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128

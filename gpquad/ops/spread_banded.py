@@ -29,9 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from .spread_nufft import _deconv_factors, _fine_size
 
-__all__ = ["banded_plan_cap", "banded_nufft1_2d", "banded_nufft2_2d"]
+__all__ = ["banded_plan_cap", "banded_nufft1_2d", "banded_nufft2_2d",
+           "BandedNUFFT"]
 
 
 def _geometry(mtot: int, w: int):
@@ -119,6 +122,11 @@ def banded_nufft1_2d(x, vals, h, *, mtot: int, w: int = 8, cap: int = 1024):
     gyls = jnp.take(gyl, pidx)
     r0s = jnp.take(r0, pidx)
     vs = jnp.take(vals.astype(cdtype), pidx) * valid.astype(rdtype)
+    # overflow guard: points beyond the static cap would silently drop;
+    # poison the output with NaN instead so the contract violation is loud
+    # (plan caps with banded_plan_cap / make_nufft's facade planning)
+    overflow = jnp.max(starts[1:] - starts[:-1]) > cap
+    vs = vs * jnp.where(overflow, jnp.nan, 1.0).astype(rdtype)
 
     rho = jnp.arange(bh + w - 1, dtype=rdtype)
     band_base = (jnp.arange(nbands) * bh).astype(rdtype)
@@ -260,4 +268,57 @@ def banded_nufft2_2d(x, fk, h, *, mtot: int, w: int = 8, cap: int = 1024):
     out = jnp.zeros((n,), cdtype)
     out = out.at[pidx.reshape(-1)].add(
         jnp.where(valid, out_sorted, 0.0).reshape(-1))
-    return out
+    overflow = jnp.max(starts[1:] - starts[:-1]) > cap
+    return out * jnp.where(overflow, jnp.nan, 1.0).astype(rdtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedNUFFT:
+    """Banded spread/interp NUFFT with the ops/nufft.NUFFT interface.
+
+    The fastest backend at large mtot (where the MXU phase matrices stop
+    fitting HBM): cost is fine-grid FFT + dense band matmuls, independent
+    of mtot beyond the FFT.  d=2, symmetric mode ordering, fixed static
+    band cap (plan with :func:`banded_plan_cap`; overflow NaN-poisons).
+    Fills the role FINUFFT plays in the reference (efgpnd.py:1496-1548).
+    """
+    x: jnp.ndarray
+    h: jnp.ndarray
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    w: int = dataclasses.field(metadata={"static": True}, default=8)
+    cap: int = dataclasses.field(metadata={"static": True}, default=1024)
+
+    @property
+    def d(self) -> int:
+        return 2
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    def type1(self, vals: jnp.ndarray) -> jnp.ndarray:
+        if vals.ndim == 1:
+            return banded_nufft1_2d(self.x, vals, self.h, mtot=self.mtot,
+                                    w=self.w, cap=self.cap)
+        flat = vals.reshape((-1, vals.shape[-1]))
+        out = jax.vmap(lambda v: banded_nufft1_2d(
+            self.x, v, self.h, mtot=self.mtot, w=self.w, cap=self.cap))(flat)
+        return out.reshape(vals.shape[:-1] + (self.mtot, self.mtot))
+
+    def type2(self, fk: jnp.ndarray) -> jnp.ndarray:
+        M = self.mtot ** 2
+        shape_block = (self.mtot, self.mtot)
+        if fk.shape == (M,) or fk.shape == shape_block:
+            return banded_nufft2_2d(self.x, fk.reshape(-1), self.h,
+                                    mtot=self.mtot, w=self.w, cap=self.cap)
+        lead = fk.shape[:fk.ndim - 1] if fk.shape[-1] == M else \
+            fk.shape[:fk.ndim - 2]
+        flat = fk.reshape((-1, M))
+        out = jax.vmap(lambda f: banded_nufft2_2d(
+            self.x, f, self.h, mtot=self.mtot, w=self.w, cap=self.cap))(flat)
+        return out.reshape(lead + (self.n,))
+
+
+jax.tree_util.register_dataclass(
+    BandedNUFFT, data_fields=["x", "h"], meta_fields=["mtot", "w", "cap"]
+)
