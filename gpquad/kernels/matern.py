@@ -1,15 +1,18 @@
-"""Matérn kernel (nu in {1/2, 3/2, 5/2}).
+"""Matérn kernel (any nu > 0; closed forms for nu in {1/2, 3/2, 5/2}).
 
 TPU-native functional re-implementation of the reference kernel
 (reference: kernels/matern.py:9-265).  Same math:
 
-    k(r)  = variance * closed_form_nu(sqrt(2 nu) r / l)
+    k(r)  = variance * 2^{1-nu}/Gamma(nu) (sqrt(2 nu) r / l)^nu
+            * K_nu(sqrt(2 nu) r / l)
     S(xi) = variance * (2 sqrt(pi))^d Gamma(nu + d/2) (2 nu)^nu
             / (Gamma(nu) l^(2 nu)) * (2 nu / l^2 + 4 pi^2 |xi|^2)^-(nu + d/2)
 
-The reference's generic-nu path needs scipy Bessel K_nu on the host
-(matern.py:72-98); there is no XLA Bessel-K, so this build restricts to the
-closed-form orders the reference actually exercises and raises otherwise.
+The reference's generic-nu path calls scipy Bessel K_nu on the host
+(matern.py:72-98); here K_nu is evaluated in pure JAX from its integral
+representations (:mod:`gpquad.kernels.bessel`), accurate to ~1e-12 in
+log K, so the generic path jits and differentiates like everything else.
+The spectral density/grad are closed forms for every nu.
 """
 from __future__ import annotations
 
@@ -19,6 +22,7 @@ import math
 import jax.numpy as jnp
 
 from .base import AbstractKernel, kernel_dataclass
+from .bessel import log_matern_profile
 
 
 @kernel_dataclass
@@ -31,26 +35,28 @@ class Matern(AbstractKernel):
     hyper_names = ("lengthscale", "variance")
 
     def __post_init__(self):
-        if self.nu not in (0.5, 1.5, 2.5):
-            raise NotImplementedError(
-                "Matérn nu must be one of {0.5, 1.5, 2.5}; generic nu requires "
-                "Bessel K_nu (host scipy in the reference, matern.py:72-98) "
-                "which has no XLA lowering."
-            )
+        if not float(self.nu) > 0.0:
+            raise ValueError("Matérn nu must be positive.")
 
     # ------------------------------------------------------------------
     def kernel(self, distance):
-        """Closed-form Matérn values — reference matern.py:53-69."""
+        """Matérn values: closed forms for nu in {1/2, 3/2, 5/2}
+        (reference matern.py:53-69), Bessel-K profile otherwise
+        (reference matern.py:72-98)."""
         s = jnp.abs(distance) / self.lengthscale
         if self.nu == 0.5:
             return self.variance * jnp.exp(-s)
         if self.nu == 1.5:
             r3 = math.sqrt(3.0)
             return self.variance * (1.0 + r3 * s) * jnp.exp(-r3 * s)
-        r5 = math.sqrt(5.0)
-        return (self.variance
-                * (1.0 + r5 * s + (5.0 / 3.0) * s * s)
-                * jnp.exp(-r5 * s))
+        if self.nu == 2.5:
+            r5 = math.sqrt(5.0)
+            return (self.variance
+                    * (1.0 + r5 * s + (5.0 / 3.0) * s * s)
+                    * jnp.exp(-r5 * s))
+        nu = float(self.nu)
+        return self.variance * jnp.exp(
+            log_matern_profile(nu, math.sqrt(2.0 * nu) * s))
 
     def spectral_density(self, xi):
         """S(xi) — reference matern.py:100-123."""

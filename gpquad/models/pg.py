@@ -126,7 +126,10 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         # accepted for drop-in compatibility with the reference signature
         # (pg_classifier.py:1065-1126): the TPU NUFFT is exact (nufft_eps
         # moot), the weighted-Toeplitz operator is always the exact one,
-        # and JAX owns device placement
+        # JAX owns device placement, and jitter — like the reference, whose
+        # estimator never reads self.jitter (only the module-level dense
+        # oracle _dense_pg_reference_gradient does,
+        # pg_classifier.py:1019-1027) — is exposed for that oracle
         self.nufft_eps = nufft_eps
         self.use_exact_weighted_toeplitz_operator = \
             use_exact_weighted_toeplitz_operator
@@ -250,7 +253,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             eres = core.estep_pass(
                 spectral, X_t, self._delta_t_, kappa, pg_b, e_probes,
                 max_iters=self.e_step_iters, rho0=self.rho0,
-                gamma=self.gamma, cg_tol=self.cg_tol)
+                gamma=self.gamma, cg_tol=self.cg_tol, tol=self.e_step_tol)
             self._delta_t_ = eres.delta
             self._last_mean_, self._last_sigma_diag_ = eres.mean, \
                 eres.sigma_diag
@@ -265,6 +268,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             aux = self._step_auxiliary_parameters(targets=y_t, outer=outer)
             record = {"iter": float(outer), "raw": raw, "grad": grad,
                       "e_residual": eres.residual,
+                      "e_iters_used": eres.iters_used,
                       "e_cg_iters": eres.cg_iters,
                       "m_cg_iters": mres.cg_iters,
                       "mean": eres.mean, "sigma_diag": eres.sigma_diag,
@@ -289,6 +293,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                 "grad_lengthscale": float(rec["grad"][0]),
                 "grad_variance": float(rec["grad"][1]),
                 "e_residual": float(rec["e_residual"]),
+                "e_iters_used": float(rec["e_iters_used"]),
                 "e_cg_iters": float(rec["e_cg_iters"]),
                 "m_cg_iters": float(rec["m_cg_iters"]),
                 likelihood_key: likelihood.fit_metric(
@@ -314,7 +319,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         eres = core.estep_pass(spectral, X_t, self._delta_t_, kappa, pg_b,
                                e_probes, max_iters=self.final_e_step_iters,
                                rho0=self.rho0, gamma=self.gamma,
-                               cg_tol=self.cg_tol)
+                               cg_tol=self.cg_tol, tol=self.e_step_tol)
         self._delta_t_ = eres.delta
         beta_mean, beta_iters = core.solve_beta_mean(
             spectral, X_t, self._delta_t_, kappa, cg_tol=self.cg_tol)
@@ -370,9 +375,9 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         method = self._variance_method()
         sp = self._spectral_state_
         if method == "exact":
-            return core.predictive_variance_exact(
+            return core.predictive_variance_exact_batched(
                 sp, self._X_train_t_, self._delta_t_, X_t,
-                cg_tol=self.cg_tol)
+                batch_size=self.prediction_batch_size, cg_tol=self.cg_tol)
         if method == "stochastic":
             if self.predictive_variance_probes <= 0:
                 raise ValueError("predictive_variance_probes must be positive.")
@@ -387,7 +392,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         return core.predictive_variance_chebyshev(
             sp, self._X_train_t_, self._delta_t_, X_t,
             n_nodes_per_dim=self.predictive_variance_chebyshev_nodes,
-            cg_tol=self.cg_tol)
+            cg_tol=self.cg_tol, batch_size=self.prediction_batch_size)
 
     def decision_function(self, X):
         """Posterior mean on training inputs; predictive mean elsewhere

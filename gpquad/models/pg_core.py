@@ -42,6 +42,7 @@ __all__ = [
     "negative_binomial_total_count_gradient",
     "estep_pass", "mstep_gradient", "solve_beta_mean",
     "predictive_mean", "predictive_variance_exact",
+    "predictive_variance_exact_batched",
     "stochastic_variance_sums", "evaluate_variance_sums",
     "chebyshev_lobatto_nodes", "barycentric_matrix",
     "predictive_variance_chebyshev",
@@ -219,18 +220,25 @@ class EstepResult(NamedTuple):
     sigma_diag: jnp.ndarray
     residual: jnp.ndarray
     cg_iters: jnp.ndarray
+    iters_used: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("max_iters", "cg_tol", "max_cg_iter"))
 def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
                pg_b, probes, *, max_iters: int, rho0: float, gamma: float,
-               cg_tol: float, max_cg_iter: int = 2000) -> EstepResult:
+               cg_tol: float, max_cg_iter: int = 2000,
+               tol=0.0) -> EstepResult:
     """Damped fixed point on the PG variational diagonal Delta
     (reference _run_estep, pg_classifier.py:507-582).
 
     Per inner iteration: apply Sigma = F D (I + D F* Delta F D)^{-1} D F*
     to [kappa; probes] with one batched CG, estimate diag(Sigma) by probe
     correlation, update Delta <- (1-rho) Delta + rho E[omega|c].
+
+    ``tol`` is the reference's ``e_step_tol`` early stop
+    (pg_classifier.py:574-576): once ``max|Delta - Lambda| < tol`` after an
+    update, later iterations are skipped (``lax.cond`` — the solve does not
+    run) and ``iters_used`` reports how many iterations actually executed.
 
     ``wtoe_builder_x`` is the training-point array (the weighted Toeplitz is
     rebuilt inside each iteration since Delta changes).
@@ -240,9 +248,10 @@ def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
     n = kappa.shape[0]
     n_probes = probes.shape[0]
     x = wtoe_builder_x
+    tol = jnp.asarray(tol, rdtype)
 
     def body(carry, it):
-        delta, _, _, _ = carry
+        delta, _, _, _, residual, used = carry
         wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
                                              delta.astype(cdtype),
                                              cdtype=cdtype)
@@ -264,16 +273,22 @@ def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
         rho = rho0 / (1.0 + gamma * it)
         delta_new = jnp.maximum((1.0 - rho) * delta + rho * Lam, 0.0)
         residual = jnp.max(jnp.abs(delta_new - Lam))
-        return (delta_new, mean, sigma_diag, res.iters), residual
+        return (delta_new, mean, sigma_diag, res.iters, residual, used + 1)
+
+    def step(carry, it):
+        # reference breaks AFTER the iteration whose residual dips below
+        # tol, so the check gates the NEXT iteration
+        done = carry[4] < tol
+        return jax.lax.cond(done, lambda c: c, lambda c: body(c, it), carry)
 
     carry = (delta0, jnp.zeros((n,), rdtype), jnp.zeros((n,), rdtype),
+             jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, rdtype),
              jnp.asarray(0, jnp.int32))
-    residual = jnp.asarray(jnp.inf, rdtype)
     for it in range(max_iters):   # e_step_iters is small (default 1)
-        carry, residual = body(carry, it)
-    delta, mean, sigma_diag, iters = carry
+        carry = step(carry, it)
+    delta, mean, sigma_diag, iters, residual, used = carry
     return EstepResult(delta=delta, mean=mean, sigma_diag=sigma_diag,
-                       residual=residual, cg_iters=iters)
+                       residual=residual, cg_iters=iters, iters_used=used)
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +390,36 @@ def predictive_variance_exact(spectral: PGSpectralState, x, delta, x_new, *,
                          axis=1)), 0.0)
 
 
+def predictive_variance_exact_batched(spectral: PGSpectralState, x, delta,
+                                      x_new, *, batch_size, cg_tol: float,
+                                      max_cg_iter: int = 2000):
+    """Microbatched exact variance: chunks targets by ``batch_size`` so the
+    per-chunk (B, M) Fourier-row matrix bounds peak memory (reference
+    _predictive_latent_moments batching, pg_classifier.py:1087,1168).
+
+    Every chunk is padded to exactly ``batch_size`` rows so the jitted
+    exact kernel compiles once regardless of the target count.
+    """
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    n_new = x_new.shape[0]
+    if batch_size is None or n_new <= int(batch_size):
+        return predictive_variance_exact(spectral, x, delta, x_new,
+                                         cg_tol=cg_tol,
+                                         max_cg_iter=max_cg_iter)
+    b = int(batch_size)
+    pad = (-n_new) % b
+    xp = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1], (pad,
+                                                              x_new.shape[1]))]
+                         ) if pad else x_new
+    chunks = [predictive_variance_exact(spectral, x, delta,
+                                        jax.lax.dynamic_slice_in_dim(xp, s, b),
+                                        cg_tol=cg_tol,
+                                        max_cg_iter=max_cg_iter)
+              for s in range(0, n_new + pad, b)]
+    return jnp.concatenate(chunks)[:n_new]
+
+
 @partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
 def stochastic_variance_sums(spectral: PGSpectralState, x, delta, etas, *,
                              cg_tol: float, max_cg_iter: int = 2000):
@@ -456,11 +501,13 @@ def barycentric_matrix(nodes, weights, targets, *, atol: float = 1e-14):
 
 def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
                                   x_new, *, n_nodes_per_dim: int,
-                                  cg_tol: float, max_cg_iter: int = 2000):
+                                  cg_tol: float, max_cg_iter: int = 2000,
+                                  batch_size=None):
     """Variance on a Chebyshev-Lobatto tensor grid, barycentric-interpolated
     to targets (reference _predictive_variance_chebyshev,
     pg_classifier.py:945-1009).  Cost: exact variance at n_nodes^d points
-    instead of n_targets."""
+    instead of n_targets; the node evaluation honors ``batch_size``
+    (reference pg_classifier.py:1193)."""
     x_new = np.asarray(x_new)
     if x_new.ndim == 1:
         x_new = x_new[:, None]
@@ -476,9 +523,9 @@ def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
         mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord)))
         axes_nodes.append(nodes)
     mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
-    node_var = predictive_variance_exact(
+    node_var = predictive_variance_exact_batched(
         spectral, x, delta, jnp.asarray(mesh, dtype=jnp.asarray(x).dtype),
-        cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+        batch_size=batch_size, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     node_grid = node_var.reshape((n_nodes_per_dim,) * d)
     letters = "abcdefghij"[:d]
     expr = (",".join(f"n{c}" for c in letters) + "," + letters + "->n")

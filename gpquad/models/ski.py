@@ -34,7 +34,7 @@ from ..ops.cg import pcg
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
 
 __all__ = ["SKIOperator", "build_ski_operator", "fit_ski_gp",
-           "ski_predict_mean"]
+           "ski_predict_mean", "ski_predict_var"]
 
 
 def _canonical_kernel(kernel: str) -> str:
@@ -417,16 +417,13 @@ def fit_ski_gp(x, y, *, kernel: str = "SE", grid_size=None,
     }
 
 
-def ski_predict_mean(fit: Dict[str, Any], x_new) -> jnp.ndarray:
-    """Predictive mean w(x*)^T K_g W^T alpha using the fitted stencils."""
-    op: SKIOperator = fit["model"]["operator"]
-    kern = fit["model"]["kernel"]
-    alpha = fit["model"]["alpha"]
-    T = fit["model"]["toeplitz"]
-    x_new = jnp.asarray(x_new, alpha.dtype)
+def _point_stencils(op: SKIOperator, x_new, dtype):
+    """Cubic-interpolation stencils (idx, weights) for new points on the
+    fitted operator's extended grid (same construction as
+    build_ski_operator)."""
+    x_new = jnp.asarray(x_new, dtype)
     if x_new.ndim == 1:
         x_new = x_new[:, None]
-    # stencils for the new points on the same extended grid
     d = x_new.shape[1]
     t = (x_new - op.lo[None, :]) / op.dx[None, :]
     ext_sizes = op.grid_shape
@@ -442,8 +439,63 @@ def ski_predict_mean(fit: Dict[str, Any], x_new) -> jnp.ndarray:
     corner = i0[:, None, :] + jnp.asarray(offsets, jnp.int32)[None, :, :]
     idx = jnp.sum(corner * jnp.asarray(strides, jnp.int32)[None, None, :],
                   axis=-1)
-    wv = jnp.ones((x_new.shape[0], offsets.shape[0]), alpha.dtype)
+    wv = jnp.ones((x_new.shape[0], offsets.shape[0]), dtype)
     for tdim in range(d):
         wv = wv * w1d[:, tdim, :][:, offsets[:, tdim]]
+    return idx, wv
+
+
+def ski_predict_mean(fit: Dict[str, Any], x_new) -> jnp.ndarray:
+    """Predictive mean w(x*)^T K_g W^T alpha using the fitted stencils."""
+    op: SKIOperator = fit["model"]["operator"]
+    alpha = fit["model"]["alpha"]
+    T = fit["model"]["toeplitz"]
+    idx, wv = _point_stencils(op, x_new, alpha.dtype)
     g = T(op.interp_T(alpha)).real.astype(alpha.dtype)   # K_g W^T alpha
     return jnp.sum(jnp.take(g, idx, axis=-1) * wv, axis=-1)
+
+
+def ski_predict_var(fit: Dict[str, Any], x_new, *, batch_size: int = 256,
+                    cg_tol: float = 1e-6,
+                    max_cg_iter: int = 1000) -> jnp.ndarray:
+    """Exact-CG predictive variance under the SKI approximation:
+
+        var(x*) = k(0) - k_*^T (W K_g W^T + sigma^2 I)^{-1} k_*,
+        k_*     = W K_g w_*                       (SKI cross-covariance),
+
+    microbatched over targets with one batched PCG per chunk — the same
+    pattern as EFGP's 'regular' estimator (gpquad/models/efgp.py).  The
+    reference gets this from gpytorch's returned SKI model
+    (reference utils/ski.py:152-178 + gpytorch predictions)."""
+    op: SKIOperator = fit["model"]["operator"]
+    kern = fit["model"]["kernel"]
+    raw = fit["model"]["raw"]
+    T = fit["model"]["toeplitz"]
+    rdtype = fit["model"]["alpha"].dtype
+    sigmasq = jnp.exp(raw)[-1]
+    k0 = kern.kernel(jnp.zeros((), rdtype)).astype(rdtype)
+
+    x_new = jnp.asarray(x_new, rdtype)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    n_new = x_new.shape[0]
+    b = min(int(batch_size), n_new)
+    pad = (-n_new) % b
+    xp = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1],
+                                                  (pad, x_new.shape[1]))]
+                         ) if pad else x_new
+
+    @jax.jit
+    def chunk_var(xc):
+        idx, wv = _point_stencils(op, xc, rdtype)
+        # W_*^T rows scattered onto the grid: (b, M)
+        u = jnp.zeros((xc.shape[0], op.M), rdtype)
+        u = u.at[jnp.arange(xc.shape[0])[:, None], idx].add(wv)
+        kstar = op.interp(T(u).real.astype(rdtype))      # (b, n)
+        sol = pcg(lambda v: op.matvec(v, sigmasq, T), kstar,
+                  tol=cg_tol, maxiter=max_cg_iter)
+        return jnp.maximum(k0 - jnp.sum(kstar * sol.x, axis=-1), 0.0)
+
+    out = [chunk_var(jax.lax.dynamic_slice_in_dim(xp, s, b))
+           for s in range(0, n_new + pad, b)]
+    return jnp.concatenate(out)[:n_new]

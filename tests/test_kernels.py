@@ -13,6 +13,10 @@ KERNELS = [
     Matern(lengthscale=0.7, variance=2.0, dimension=1, nu=0.5),
     Matern(lengthscale=0.7, variance=2.0, dimension=1, nu=1.5),
     Matern(lengthscale=0.4, variance=0.8, dimension=2, nu=2.5),
+    # generic-nu (Bessel-K) path, incl. integer nu where the reflection
+    # formula would be singular (reference matern.py:72-98)
+    Matern(lengthscale=0.7, variance=1.3, dimension=1, nu=1.0),
+    Matern(lengthscale=0.5, variance=0.9, dimension=2, nu=3.0),
 ]
 
 
@@ -142,3 +146,52 @@ def test_estimate_hyperparameters():
     km = Matern(dimension=2, nu=1.5)
     lm, _, _ = km.estimate_hyperparameters(x, y)
     assert np.allclose(float(lm), 2 * float(l))
+
+
+def test_matern_generic_nu_matches_scipy():
+    """Generic-nu Matérn (pure-JAX Bessel-K) == scipy closed evaluation on a
+    grid of distances (reference generic path, matern.py:72-98)."""
+    from scipy.special import gamma as sp_gamma, kv
+    r = np.concatenate([[0.0], np.logspace(-6, 1.2, 60)])
+    for nu in (0.3, 1.0, 2.0, 3.7):
+        for l, v in ((0.7, 1.3), (0.25, 0.6)):
+            k = Matern(lengthscale=l, variance=v, dimension=1, nu=nu)
+            got = np.asarray(k.kernel(jnp.asarray(r)))
+            s = np.sqrt(2 * nu) * r / l
+            with np.errstate(invalid="ignore"):
+                want = v * 2.0 ** (1 - nu) / sp_gamma(nu) * s**nu * kv(nu, s)
+            want[0] = v
+            assert np.allclose(got, want, rtol=1e-10, atol=1e-12 * v), (
+                nu, l, np.abs(got - want).max())
+
+
+def test_matern_generic_nu_closed_form_consistency():
+    """At nu=1.5 the Bessel-K profile must equal the closed form."""
+    from gpquad.kernels.bessel import log_matern_profile
+    r = jnp.asarray(np.logspace(-4, 1, 40))
+    l = 0.6
+    s = r / l
+    closed = (1 + np.sqrt(3) * np.asarray(s)) * np.exp(-np.sqrt(3)
+                                                       * np.asarray(s))
+    got = np.asarray(jnp.exp(log_matern_profile(1.5, jnp.sqrt(3.0) * s)))
+    assert np.allclose(got, closed, rtol=1e-10)
+
+
+def test_matern_generic_nu_grad_lengthscale():
+    """jax.grad through the Bessel-K kernel matches finite differences."""
+    r = jnp.asarray([0.0, 0.1, 0.7, 2.0])
+
+    def f(l):
+        return jnp.sum(Matern(lengthscale=l, variance=1.0, dimension=1,
+                              nu=2.0).kernel(r))
+
+    g = float(jax.grad(f)(0.5))
+    h = 1e-6
+    fd = (float(f(0.5 + h)) - float(f(0.5 - h))) / (2 * h)
+    assert np.isfinite(g)
+    assert np.allclose(g, fd, rtol=1e-5), (g, fd)
+
+
+def test_matern_rejects_nonpositive_nu():
+    with pytest.raises(ValueError):
+        Matern(lengthscale=0.5, variance=1.0, dimension=1, nu=0.0)

@@ -142,3 +142,22 @@ def test_log_marginal_slq(rng):
     want = -0.5 * (logdet + np.asarray(y) @ np.linalg.solve(C, np.asarray(y))
                    + 80 * np.log(2 * np.pi))
     assert abs(lm - want) / abs(want) < 0.05, (lm, want)
+
+
+def test_model_generic_nu_matern_matches_dense(rng):
+    """End-to-end EFGP with a generic-nu (Bessel-K) Matérn kernel tracks the
+    dense GP oracle (reference generic path, matern.py:72-98)."""
+    from gpquad.kernels import Matern
+    n = 200
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 1)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x[:, 0]))
+                    + 0.1 * rng.normal(size=n))
+    k = Matern(lengthscale=0.4, variance=1.0, dimension=1, nu=2.0)
+    model = EFGP(x, y, k, sigmasq=0.01, eps=1e-6, estimate_params=False,
+                 opts={"cg_tolerance": 1e-10})
+    mu, _ = model.predict(x, return_variance=False)
+    K = np.asarray(k.kernel(jnp.abs(x[:, None, 0] - x[None, :, 0])))
+    mu_d = K @ np.linalg.solve(K + 0.01 * np.eye(n), np.asarray(y))
+    # Matérn spectral tails are algebraic, so the quadrature (not the
+    # Bessel-K evaluation, good to ~1e-12) dominates this gap
+    assert np.abs(np.asarray(mu) - mu_d).max() < 1e-3

@@ -334,3 +334,60 @@ def test_bad_variance_method(rng):
     clf.fit(X, y)
     with pytest.raises(ValueError):
         clf.predictive_variance(rng.uniform(size=(5, 2)))
+
+
+def test_prediction_batch_size_matches_unbatched(rng):
+    """Batched exact variance == unbatched (reference batches targets via
+    prediction_batch_size, pg_classifier.py:1087,1168)."""
+    X, kern, sp, delta, h, mtot = _pg_setup(rng, n=50, d=1)
+    xnew = jnp.linspace(-0.9, 0.9, 37)[:, None]   # 37 % 8 != 0: pad path
+    v_full = np.asarray(core.predictive_variance_exact(
+        sp, X, delta, xnew, cg_tol=1e-12))
+    v_batched = np.asarray(core.predictive_variance_exact_batched(
+        sp, X, delta, xnew, batch_size=8, cg_tol=1e-12))
+    assert v_batched.shape == v_full.shape
+    assert np.allclose(v_batched, v_full, rtol=1e-10, atol=1e-12)
+    # batch_size=None passthrough
+    v_none = np.asarray(core.predictive_variance_exact_batched(
+        sp, X, delta, xnew, batch_size=None, cg_tol=1e-12))
+    assert np.allclose(v_none, v_full)
+
+
+def test_e_step_tol_early_stop(rng):
+    """A loose e_step_tol stops the damped fixed point early; iters_used
+    reports the executed count (reference break, pg_classifier.py:574-576)."""
+    X, kern, sp, delta, h, mtot = _pg_setup(rng, n=45, d=1)
+    n = 45
+    kappa = jnp.asarray(rng.normal(size=n))
+    pg_b = jnp.ones(n)
+    probes = jnp.asarray(rng.integers(0, 2, (4, n)) * 2.0 - 1)
+    # tol so large the second iteration is skipped
+    loose = core.estep_pass(sp, X, delta, kappa, pg_b, probes, max_iters=4,
+                            rho0=0.7, gamma=1e-3, cg_tol=1e-10, tol=1e3)
+    assert int(loose.iters_used) == 1
+    one = core.estep_pass(sp, X, delta, kappa, pg_b, probes, max_iters=1,
+                          rho0=0.7, gamma=1e-3, cg_tol=1e-10, tol=0.0)
+    assert np.allclose(np.asarray(loose.delta), np.asarray(one.delta))
+    # tol=0 never stops early
+    full = core.estep_pass(sp, X, delta, kappa, pg_b, probes, max_iters=4,
+                           rho0=0.7, gamma=1e-3, cg_tol=1e-10, tol=0.0)
+    assert int(full.iters_used) == 4
+    assert not np.allclose(np.asarray(full.delta), np.asarray(one.delta))
+
+
+def test_estimator_prediction_batch_and_tol_plumbed(rng):
+    """Estimator-level: prediction_batch_size changes nothing numerically,
+    e_step_tol early-stops are visible in history."""
+    X, y = _binary_data(rng, n=80)
+    xq = rng.uniform(-1, 1, size=(23, 2))
+    base = dict(max_iter=3, e_step_iters=3, random_state=0, dtype="float64",
+                store_history=True)
+    a = PolyagammaGPClassifier(prediction_batch_size=7, e_step_tol=0.0,
+                               **base).fit(X, y)
+    b = PolyagammaGPClassifier(prediction_batch_size=None, e_step_tol=0.0,
+                               **base).fit(X, y)
+    assert np.allclose(a.predictive_variance(xq), b.predictive_variance(xq),
+                       rtol=1e-8)
+    assert a.history_[0]["e_iters_used"] == 3.0
+    c = PolyagammaGPClassifier(e_step_tol=1e6, **base).fit(X, y)
+    assert c.history_[0]["e_iters_used"] == 1.0

@@ -14,7 +14,8 @@ import pytest
 from gpquad.kernels import SquaredExponential
 from gpquad.models.ski import (build_ski_operator, fit_ski_gp,
                                resolve_grid_bounds, resolve_grid_size,
-                               ski_predict_mean)
+                               ski_predict_mean, ski_predict_var,
+                               _point_stencils)
 
 from .test_efgp import dense_gp_posterior, make_data
 
@@ -131,3 +132,61 @@ def test_fit_ski_validates_inputs(rng):
         fit_ski_gp(np.zeros((10, 1)), np.zeros(10), max_iters=0)
     with pytest.raises(ValueError):
         fit_ski_gp(np.zeros((10, 1)), np.zeros(10), kernel="exp")
+
+
+def test_ski_predict_var_matches_ski_dense_oracle(rng):
+    """ski_predict_var == dense evaluation of the SAME SKI approximation:
+    var = k(0) - kstar^T (W K_g W^T + s2 I)^-1 kstar with kstar = W K_g w*.
+    (reference surface: gpytorch predictive variance, utils/ski.py:152-178)."""
+    n = 80
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 1)))
+    kern = SquaredExponential(lengthscale=0.25, variance=1.4, dimension=1)
+    y = jnp.asarray(np.sin(5 * np.asarray(x[:, 0]))
+                    + 0.05 * rng.normal(size=n))
+    sigmasq = 0.04
+    bounds = resolve_grid_bounds(np.asarray(x))
+    op = build_ski_operator(x, kern, (48,), bounds)
+    fit = {"model": {"kernel": kern,
+                     "raw": jnp.log(jnp.asarray([0.25, 1.4, sigmasq])),
+                     "alpha": jnp.zeros(n, jnp.float64),
+                     "operator": op, "toeplitz": op.toeplitz}}
+    xnew = jnp.linspace(0.05, 0.95, 33)[:, None]
+    got = np.asarray(ski_predict_var(fit, xnew, batch_size=10, cg_tol=1e-12))
+
+    # dense SKI oracle: explicit W, K_g
+    M = op.M
+    W = np.zeros((n, M))
+    W[np.arange(n)[:, None], np.asarray(op.idx)] = np.asarray(op.wvals)
+    Kg = np.zeros((M, M))
+    eye = np.eye(M)
+    Kg = np.stack([np.asarray(op.toeplitz(jnp.asarray(
+        eye[i], jnp.complex128)).real) for i in range(M)], axis=0).T
+    idx_s, wv_s = _point_stencils(op, xnew, jnp.float64)
+    Ws = np.zeros((33, M))
+    Ws[np.arange(33)[:, None], np.asarray(idx_s)] = np.asarray(wv_s)
+    Kski = W @ Kg @ W.T
+    kstar = W @ Kg @ Ws.T                    # (n, 33)
+    A = Kski + sigmasq * np.eye(n)
+    want = float(kern.kernel(jnp.zeros(()))) - np.sum(
+        kstar * np.linalg.solve(A, kstar), axis=0)
+    want = np.maximum(want, 0.0)
+    assert np.allclose(got, want, rtol=1e-6, atol=1e-10), \
+        np.abs(got - want).max()
+
+
+def test_ski_predict_var_close_to_dense_gp(rng):
+    """On a fine grid the SKI variance approximates the vanilla GP's."""
+    x, y = make_data(rng, n=300, d=1, lengthscale=0.25, variance=1.0,
+                     noise=0.05)
+    out = fit_ski_gp(np.asarray(x), np.asarray(y), kernel="SE",
+                     grid_size=96, max_iters=1, verbose=False,
+                     dtype=jnp.float64, init_lengthscale=0.25,
+                     init_outputscale=1.0, init_noise=0.05,
+                     cg_tolerance=1e-10, max_cg_iterations=2000)
+    xnew = jnp.linspace(0.1, 0.9, 25)[:, None]
+    got = np.asarray(ski_predict_var(out, xnew, cg_tol=1e-10))
+    kern = out["model"]["kernel"]
+    noise = float(np.exp(np.asarray(out["model"]["raw"]))[-1])
+    _, vo = dense_gp_posterior(kern, x, y, noise, xnew)
+    assert np.max(np.abs(got - vo)) < 0.05 * np.max(vo), (
+        np.abs(got - vo).max(), np.max(vo))
