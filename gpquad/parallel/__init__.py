@@ -1,6 +1,9 @@
-"""Device-mesh scale-out (data-parallel points, probe-parallel traces)."""
+"""Device-mesh scale-out (data-parallel points, probe-parallel traces,
+pencil-sharded frequency grids)."""
+from .msharded import msharded_toeplitz_matvec, shard_toeplitz_kernel
 from .sharding import (make_mesh, replicate, shard_points, shard_probes,
                        sharded_fit, sharded_gradient)
 
 __all__ = ["make_mesh", "replicate", "shard_points", "shard_probes",
-           "sharded_fit", "sharded_gradient"]
+           "sharded_fit", "sharded_gradient",
+           "msharded_toeplitz_matvec", "shard_toeplitz_kernel"]

@@ -12,8 +12,12 @@ The reference is strictly single-process/single-device (SURVEY §2.4: no
     second mesh axis and only the scalar convergence mask is global.
 
 GSPMD propagates both layouts from the input shardings — no hand-written
-collectives are needed on the hot path; ``shard_map`` kernels can be added
-per-op later without changing this interface.
+collectives are needed on the hot path.  Under this layout the
+frequency-space state is REPLICATED: per-device memory for the Gram matvec
+is O(prod(fft_shape)) complex words (e.g. d=2, mtot=801 -> pad 2048^2 ->
+64 MiB at complex64) independent of device count.  When that replication
+is the wall, :mod:`gpquad.parallel.msharded` shards the padded grid itself
+with a pencil-transpose FFT (per-device memory /= mesh size).
 """
 from __future__ import annotations
 
