@@ -302,9 +302,11 @@ def _variance_regular(state: FitState, x_new, *, cg_tol, max_cg_iter,
     return out[:B]
 
 
-@partial(jax.jit, static_argnames=("probes", "cg_tol", "max_cg_iter"))
+@partial(jax.jit, static_argnames=("probes", "cg_tol", "max_cg_iter",
+                                   "nufft_method"))
 def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
-                         cg_tol, max_cg_iter) -> jnp.ndarray:
+                         cg_tol, max_cg_iter,
+                         nufft_method: str = "mxu") -> jnp.ndarray:
     """Hutchinson diag-sums variance (reference diag_sums_nd +
     nufft_var_est_nd, efgpnd.py:1634-1679).
 
@@ -329,8 +331,11 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
                         axis=0)
 
     # FFT-ordered type-2 on the (2*mtot-1)^d lag grid (modeord=True in the
-    # reference, efgpnd.py:1666-1679)
-    nufft = make_nufft(x_new, state.h, 2 * mtot - 1, fft_order=True)
+    # reference, efgpnd.py:1666-1679); "pallas" avoids materializing the
+    # (n_targets, 2*mtot-1) phase matrices of this doubled grid
+    method = nufft_method if (nufft_method == "pallas" and d == 2) else "mxu"
+    nufft = make_nufft(x_new, state.h, 2 * mtot - 1, fft_order=True,
+                       method=method)
     return nufft.type2(est_sums).real
 
 
@@ -372,7 +377,8 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
 def predict_var(state: FitState, x_new, *, method: str = "stochastic",
                 key=None, probes: int = 1000, cg_tol: float = 1e-4,
                 max_cg_iter: int = 1000, microbatch: int = 8192,
-                chebyshev_nodes: int = 20) -> jnp.ndarray:
+                chebyshev_nodes: int = 20,
+                nufft_method: str = "mxu") -> jnp.ndarray:
     """Posterior variance dispatch (reference compute_prediction_variance,
     efgpnd.py:1761-1841, plus the Chebyshev mode generalized from the PG
     module)."""
@@ -387,7 +393,8 @@ def predict_var(state: FitState, x_new, *, method: str = "stochastic",
         if key is None:
             key = jax.random.PRNGKey(0)
         return _variance_stochastic(state, x_new, key, probes=probes,
-                                    cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+                                    cg_tol=cg_tol, max_cg_iter=max_cg_iter,
+                                    nufft_method=nufft_method)
     if method == "chebyshev":
         return _variance_chebyshev(state, x_new,
                                    n_nodes_per_dim=chebyshev_nodes,

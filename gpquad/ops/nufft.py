@@ -202,7 +202,7 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     ordering 0..m, -m..-1 as needed by the stochastic-variance evaluation
     (reference efgpnd.py:1666-1679 uses modeord=True).
 
-    ``method="pallas"`` (d=2, symmetric ordering only) selects the fused
+    ``method="pallas"`` (d=2, both mode orderings) selects the fused
     Pallas kernels, which never materialize phase matrices in HBM.
     ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free
     banded spread/interp backend — fastest at very large mtot; its static
@@ -214,11 +214,11 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     if mtot % 2 != 1:
         raise ValueError(f"mtot must be odd (symmetric grid -m..m), got {mtot}")
     if method == "pallas":
-        if x.shape[1] != 2 or fft_order:
-            raise NotImplementedError(
-                "pallas NUFFT supports d=2 with symmetric mode ordering")
+        if x.shape[1] != 2:
+            raise NotImplementedError("pallas NUFFT supports d=2")
         from .pallas_nufft import PallasNUFFT
-        return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
+        return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
+                           fft_order=fft_order)
     if method == "banded":
         if x.shape[1] != 2 or fft_order:
             raise NotImplementedError(

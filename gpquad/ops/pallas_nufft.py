@@ -33,6 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d", "PallasNUFFT"]
 
 
+def _k_values(m: int, fft_order: bool):
+    """Mode indices: symmetric -m..m (FINUFFT modeord=False) or FFT order
+    0..m, -m..-1 (modeord=True, used by the stochastic-variance evaluation,
+    reference efgpnd.py:1666-1679)."""
+    half = (m - 1) // 2
+    if fft_order:
+        return jnp.concatenate([jnp.arange(0, half + 1),
+                                jnp.arange(-half, 0)]).astype(jnp.float32)
+    return jnp.arange(-half, half + 1, dtype=jnp.float32)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -93,9 +104,11 @@ def _type2_kernel(x_ref, fre_ref, fim_ref, k_ref, h_ref, out_ref):
     out_ref[...] = jnp.stack([out_re, out_im], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                              "fft_order"))
 def pallas_nufft2_2d(x, f, h, *, mtot: int, tile: int = 512,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     fft_order: bool = False):
     """Fused type-2 apply for d=2: ``out[n] = sum_jk f[j,k] e^{+2 pi i
     x_n . (h k)}``.  ``f`` complex (mtot, mtot) or flat; returns complex
     (N,)."""
@@ -107,12 +120,12 @@ def pallas_nufft2_2d(x, f, h, *, mtot: int, tile: int = 512,
     if m > _MODE_TILE:
         return _pallas_nufft2_2d_tiled(x, f, h, mtot=mtot, tile=tile,
                                        mode_tile=_MODE_TILE,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       fft_order=fft_order)
     ntile = -(-n // tile)
     npad = ntile * tile
     xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
-    kvals = jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1,
-                       dtype=jnp.float32).reshape(1, m)
+    kvals = _k_values(m, fft_order).reshape(1, m)
     out = pl.pallas_call(
         _type2_kernel,
         grid=(ntile,),
@@ -173,9 +186,11 @@ def _type1_kernel(x_ref, vre_ref, vim_ref, k_ref, h_ref, ore_ref, oim_ref):
         oim_ref[...] += acc_im
 
 
-@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                              "fft_order"))
 def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     fft_order: bool = False):
     """Fused type-1 apply for d=2: ``out[j,k] = sum_n v_n e^{-2 pi i
     x_n . (h k)}``; returns complex (mtot, mtot)."""
     if interpret is None:
@@ -185,7 +200,8 @@ def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
     if m > _MODE_TILE:
         return _pallas_nufft1_2d_tiled(x, vals, h, mtot=mtot, tile=tile,
                                        mode_tile=_MODE_TILE,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       fft_order=fft_order)
     ntile = -(-n // tile)
     npad = ntile * tile
     xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
@@ -193,8 +209,7 @@ def pallas_nufft1_2d(x, vals, h, *, mtot: int, tile: int = 512,
         jnp.real(vals).astype(jnp.float32))
     vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
         jnp.imag(vals).astype(jnp.float32))
-    kvals = jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1,
-                       dtype=jnp.float32).reshape(1, m)
+    kvals = _k_values(m, fft_order).reshape(1, m)
     ore, oim = pl.pallas_call(
         _type1_kernel,
         grid=(ntile,),
@@ -234,6 +249,8 @@ class PallasNUFFT:
     x: jnp.ndarray           # (N, 2)
     h: jnp.ndarray
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    fft_order: bool = dataclasses.field(metadata={"static": True},
+                                        default=False)
 
     @property
     def d(self) -> int:
@@ -245,25 +262,29 @@ class PallasNUFFT:
 
     def type1(self, vals):
         if vals.ndim == 1:
-            return pallas_nufft1_2d(self.x, vals, self.h, mtot=self.mtot)
+            return pallas_nufft1_2d(self.x, vals, self.h, mtot=self.mtot,
+                                    fft_order=self.fft_order)
         return jax.lax.map(
-            lambda v: pallas_nufft1_2d(self.x, v, self.h, mtot=self.mtot),
+            lambda v: pallas_nufft1_2d(self.x, v, self.h, mtot=self.mtot,
+                                       fft_order=self.fft_order),
             vals)
 
     def type2(self, fk):
         m = self.mtot
         M = m * m
         if fk.shape == (M,) or fk.shape == (m, m):
-            return pallas_nufft2_2d(self.x, fk, self.h, mtot=m)
+            return pallas_nufft2_2d(self.x, fk, self.h, mtot=m,
+                                    fft_order=self.fft_order)
         lead = fk.shape[:-1] if fk.shape[-1] == M else fk.shape[:-2]
         flat = fk.reshape((-1, m, m))
         out = jax.lax.map(
-            lambda f: pallas_nufft2_2d(self.x, f, self.h, mtot=m), flat)
+            lambda f: pallas_nufft2_2d(self.x, f, self.h, mtot=m,
+                                       fft_order=self.fft_order), flat)
         return out.reshape(lead + (self.n,))
 
 
 jax.tree_util.register_dataclass(
-    PallasNUFFT, data_fields=["x", "h"], meta_fields=["mtot"]
+    PallasNUFFT, data_fields=["x", "h"], meta_fields=["mtot", "fft_order"]
 )
 
 
@@ -312,7 +333,8 @@ def _type2_tiled_kernel(x_ref, fre_ref, fim_ref, k1_ref, k2_ref, h_ref,
         out_ref[...] += acc
 
 
-def _pallas_nufft2_2d_tiled(x, f, h, *, mtot, tile, mode_tile, interpret):
+def _pallas_nufft2_2d_tiled(x, f, h, *, mtot, tile, mode_tile, interpret,
+                            fft_order=False):
     n = x.shape[0]
     m = mtot
     mb = mode_tile
@@ -322,7 +344,7 @@ def _pallas_nufft2_2d_tiled(x, f, h, *, mtot, tile, mode_tile, interpret):
     xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
     fp = jnp.zeros((mp, mp), f.dtype).at[:m, :m].set(f.reshape(m, m))
     kv = jnp.zeros((1, mp), jnp.float32).at[0, :m].set(
-        jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1, dtype=jnp.float32))
+        _k_values(m, fft_order))
     out = pl.pallas_call(
         _type2_tiled_kernel,
         grid=(ntile, mp // mb, mp // mb),
@@ -384,7 +406,8 @@ def _type1_tiled_kernel(x_ref, vre_ref, vim_ref, k1_ref, k2_ref, h_ref,
         oim_ref[...] += acc_im
 
 
-def _pallas_nufft1_2d_tiled(x, vals, h, *, mtot, tile, mode_tile, interpret):
+def _pallas_nufft1_2d_tiled(x, vals, h, *, mtot, tile, mode_tile, interpret,
+                            fft_order=False):
     n = x.shape[0]
     m = mtot
     mb = mode_tile
@@ -397,7 +420,7 @@ def _pallas_nufft1_2d_tiled(x, vals, h, *, mtot, tile, mode_tile, interpret):
     vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
         jnp.imag(vals).astype(jnp.float32))
     kv = jnp.zeros((1, mp), jnp.float32).at[0, :m].set(
-        jnp.arange(-(m - 1) // 2, (m - 1) // 2 + 1, dtype=jnp.float32))
+        _k_values(m, fft_order))
     ore, oim = pl.pallas_call(
         _type1_tiled_kernel,
         grid=(mp // mb, mp // mb, ntile),

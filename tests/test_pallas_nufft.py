@@ -80,3 +80,56 @@ def test_mode_tiled_kernels(rng):
     want2 = op.type2(f)
     assert float(jnp.max(jnp.abs(got2 - want2))
                  / jnp.max(jnp.abs(want2))) < 5e-5
+
+
+def test_pallas_fft_order_matches_mxu(rng):
+    """fft_order=True (modeord=True, the stochastic-variance evaluation
+    ordering, reference efgpnd.py:1666-1679) matches the MXU path."""
+    n, mtot, h = 500, 31, 0.05
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    mxu = make_nufft(x, h, mtot, fft_order=True)
+    pal = make_nufft(x, h, mtot, fft_order=True, method="pallas")
+    f = jnp.asarray(rng.normal(size=(mtot, mtot))
+                    + 1j * rng.normal(size=(mtot, mtot)), jnp.complex64)
+    got = np.asarray(pal.type2(f))
+    want = np.asarray(mxu.type2(f))
+    assert np.max(np.abs(got - want)) < 5e-5 * np.max(np.abs(want))
+    v = jnp.asarray(rng.normal(size=n), jnp.complex64)
+    got1 = np.asarray(pal.type1(v))
+    want1 = np.asarray(mxu.type1(v)).reshape(mtot, mtot)
+    assert np.max(np.abs(got1 - want1)) < 5e-5 * np.max(np.abs(want1))
+
+
+def test_pallas_fft_order_mode_tiled(rng):
+    """fft_order survives the mode-tiled dispatch (padded k region)."""
+    from gpquad.ops.pallas_nufft import _MODE_TILE, pallas_nufft2_2d
+    n, mtot, h = 300, _MODE_TILE + 17, 0.008
+    x = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    mxu = make_nufft(x, h, mtot, fft_order=True)
+    f = jnp.asarray(rng.normal(size=(mtot, mtot)), jnp.complex64)
+    got = np.asarray(pallas_nufft2_2d(x, f, h, mtot=mtot, tile=256,
+                                      fft_order=True))
+    want = np.asarray(mxu.type2(f))
+    assert np.max(np.abs(got - want)) < 5e-5 * np.max(np.abs(want))
+
+
+def test_stochastic_variance_pallas_evaluation(rng):
+    """predict_var(..., nufft_method='pallas') == the MXU evaluation of the
+    same lag sums (same key -> same probes)."""
+    from gpquad.models.efgp import fit_with_grid, predict_var
+    from gpquad.kernels import SquaredExponential
+    n = 400
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(4 * np.asarray(x[:, 0])), jnp.float32)
+    kern = SquaredExponential(lengthscale=jnp.float32(0.25),
+                              variance=jnp.float32(1.0), dimension=2)
+    st = fit_with_grid(x, y, kern, 0.05, jnp.float32(0.3), 9, cg_tol=1e-8)
+    xq = jnp.asarray(rng.uniform(0, 1, (50, 2)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    v_mxu = np.asarray(predict_var(st, xq, method="stochastic", key=key,
+                                   probes=64, cg_tol=1e-8))
+    v_pal = np.asarray(predict_var(st, xq, method="stochastic", key=key,
+                                   probes=64, cg_tol=1e-8,
+                                   nufft_method="pallas"))
+    assert np.max(np.abs(v_mxu - v_pal)) < 5e-5 * max(np.max(np.abs(v_mxu)),
+                                                      1e-6)
