@@ -202,8 +202,9 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     ordering 0..m, -m..-1 as needed by the stochastic-variance evaluation
     (reference efgpnd.py:1666-1679 uses modeord=True).
 
-    ``method="pallas"`` (d=2, both mode orderings) selects the fused
-    Pallas kernels, which never materialize phase matrices in HBM.
+    ``method="pallas"`` (d in {1, 2, 3}, both mode orderings) selects the
+    fused Pallas kernels, which never materialize phase matrices in HBM
+    (d=3 is VMEM-bounded at mtot <= 56 per dim).
     ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free
     banded spread/interp backend — fastest at very large mtot; its static
     band ``cap`` is planned on the host when ``x`` is concrete, or must be
@@ -214,8 +215,8 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     if mtot % 2 != 1:
         raise ValueError(f"mtot must be odd (symmetric grid -m..m), got {mtot}")
     if method == "pallas":
-        if x.shape[1] != 2:
-            raise NotImplementedError("pallas NUFFT supports d=2")
+        if x.shape[1] not in (1, 2, 3):
+            raise NotImplementedError("pallas NUFFT supports d in {1, 2, 3}")
         from .pallas_nufft import PallasNUFFT
         return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
                            fft_order=fft_order)

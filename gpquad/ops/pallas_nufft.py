@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d", "PallasNUFFT"]
+__all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d",
+           "pallas_nufft2_1d", "pallas_nufft1_1d",
+           "pallas_nufft2_3d", "pallas_nufft1_3d", "PallasNUFFT"]
 
 
 def _k_values(m: int, fft_order: bool):
@@ -239,14 +241,14 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class PallasNUFFT:
-    """Drop-in NUFFT backend built on the fused kernels (d=2 only).
+    """Drop-in NUFFT backend built on the fused kernels (d in {1, 2, 3}).
 
     Same duck-typed interface as ops.nufft.NUFFT (type1/type2, batched via
     sequential kernel launches) but stores only the raw points: phase
     factors never touch HBM.  Select with
     ``make_nufft(..., method="pallas")``.
     """
-    x: jnp.ndarray           # (N, 2)
+    x: jnp.ndarray           # (N, d)
     h: jnp.ndarray
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
     fft_order: bool = dataclasses.field(metadata={"static": True},
@@ -254,32 +256,42 @@ class PallasNUFFT:
 
     @property
     def d(self) -> int:
-        return 2
+        return self.x.shape[1]
 
     @property
     def n(self) -> int:
         return self.x.shape[0]
 
+    def _t1(self):
+        return {1: pallas_nufft1_1d, 2: pallas_nufft1_2d,
+                3: pallas_nufft1_3d}[self.d]
+
+    def _t2(self):
+        return {1: pallas_nufft2_1d, 2: pallas_nufft2_2d,
+                3: pallas_nufft2_3d}[self.d]
+
     def type1(self, vals):
+        f = self._t1()
         if vals.ndim == 1:
-            return pallas_nufft1_2d(self.x, vals, self.h, mtot=self.mtot,
-                                    fft_order=self.fft_order)
+            return f(self.x, vals, self.h, mtot=self.mtot,
+                     fft_order=self.fft_order)
         return jax.lax.map(
-            lambda v: pallas_nufft1_2d(self.x, v, self.h, mtot=self.mtot,
-                                       fft_order=self.fft_order),
+            lambda v: f(self.x, v, self.h, mtot=self.mtot,
+                        fft_order=self.fft_order),
             vals)
 
     def type2(self, fk):
+        f2 = self._t2()
         m = self.mtot
-        M = m * m
-        if fk.shape == (M,) or fk.shape == (m, m):
-            return pallas_nufft2_2d(self.x, fk, self.h, mtot=m,
-                                    fft_order=self.fft_order)
-        lead = fk.shape[:-1] if fk.shape[-1] == M else fk.shape[:-2]
-        flat = fk.reshape((-1, m, m))
+        M = m ** self.d
+        block = (m,) * self.d
+        if fk.shape == (M,) or fk.shape == block:
+            return f2(self.x, fk, self.h, mtot=m, fft_order=self.fft_order)
+        lead = fk.shape[:-1] if fk.shape[-1] == M else fk.shape[:-self.d]
+        flat = fk.reshape((-1,) + block)
         out = jax.lax.map(
-            lambda f: pallas_nufft2_2d(self.x, f, self.h, mtot=m,
-                                       fft_order=self.fft_order), flat)
+            lambda f: f2(self.x, f, self.h, mtot=m,
+                         fft_order=self.fft_order), flat)
         return out.reshape(lead + (self.n,))
 
 
@@ -448,3 +460,305 @@ def _pallas_nufft1_2d_tiled(x, vals, h, *, mtot, tile, mode_tile, interpret,
         interpret=interpret,
     )(xp, vre, vim, kv, kv, jnp.asarray([h], jnp.float32))
     return jax.lax.complex(ore[:m, :m], oim[:m, :m])
+
+
+# ---------------------------------------------------------------------------
+# d=1 and d=3 kernels.  d=1 is a fused matvec (cheap, for API uniformity);
+# d=3 factorizes the tensor contraction per point-tile:
+#   type-2:  A[(j,k), n] = sum_l f[j,k,l] E3[n,l]      (MXU)
+#            B[j, n]     = sum_k A[(j,k), n] E2[n,k]   (VPU reduce)
+#            out[n]      = sum_j B[j, n] E1[n,j]       (VPU reduce)
+#   type-1:  U[n, (j,k)] = (E1 v)[n,j] E2[n,k]         (VPU outer)
+#            acc[(j,k), l] += U^T @ E3                 (MXU)
+# so HBM traffic stays O(N d) point reads + the coefficient block —
+# the MXU path's three (N, mtot) phase matrices (2.4 GB at n=1e6,
+# mtot=100) never materialize.  VMEM bounds the single-block kernels at
+# mtot <= ~56 for d=3; larger 3-D grids fall back to the MXU path.
+# ---------------------------------------------------------------------------
+
+_D3_MAX_MTOT = 56
+
+
+def _type2_1d_kernel(x_ref, fre_ref, fim_ref, k_ref, h_ref, out_ref):
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+    t = x[:, 0] * h
+    u = t - jnp.round(t)
+    cyc = u[:, None] * k
+    cyc = cyc - jnp.round(cyc)
+    c, s = _cos_sin_cycles(cyc)            # (TN, m), +theta
+    fre = fre_ref[...][0]                  # (m,)
+    fim = fim_ref[...][0]
+    out_re = jnp.sum(c * fre[None, :] - s * fim[None, :], axis=1)
+    out_im = jnp.sum(c * fim[None, :] + s * fre[None, :], axis=1)
+    out_ref[...] = jnp.stack([out_re, out_im], axis=1)
+
+
+def _type1_1d_kernel(x_ref, vre_ref, vim_ref, k_ref, h_ref, ore_ref,
+                     oim_ref):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+    t = x[:, 0] * h
+    u = t - jnp.round(t)
+    cyc = u[:, None] * k
+    cyc = cyc - jnp.round(cyc)
+    c, s = _cos_sin_cycles(cyc)
+    s = -s                                 # isign = -1
+    vre = vre_ref[...][:, 0]
+    vim = vim_ref[...][:, 0]
+    acc_re = jnp.sum(c * vre[:, None] - s * vim[:, None], axis=0)[None, :]
+    acc_im = jnp.sum(c * vim[:, None] + s * vre[:, None], axis=0)[None, :]
+
+    @pl.when(i == 0)
+    def _():
+        ore_ref[...] = acc_re
+        oim_ref[...] = acc_im
+
+    @pl.when(i > 0)
+    def _():
+        ore_ref[...] += acc_re
+        oim_ref[...] += acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft2_1d(x, f, h, *, mtot: int, tile: int = 1024,
+                     interpret: bool | None = None, fft_order: bool = False):
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 1), jnp.float32).at[:n].set(
+        x.reshape(-1, 1).astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    f = f.reshape(m)
+    out = pl.pallas_call(
+        _type2_1d_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+        interpret=interpret,
+    )(xp, jnp.real(f).astype(jnp.float32)[None, :],
+      jnp.imag(f).astype(jnp.float32)[None, :], kvals,
+      jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(out[:n, 0], out[:n, 1])
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft1_1d(x, vals, h, *, mtot: int, tile: int = 1024,
+                     interpret: bool | None = None, fft_order: bool = False):
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 1), jnp.float32).at[:n].set(
+        x.reshape(-1, 1).astype(jnp.float32))
+    vre = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.real(vals).astype(jnp.float32))
+    vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.imag(vals).astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    ore, oim = pl.pallas_call(
+        _type1_1d_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((1, m), jnp.float32),
+                   jax.ShapeDtypeStruct((1, m), jnp.float32)),
+        interpret=interpret,
+    )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(ore[0], oim[0])
+
+
+def _type2_3d_kernel(x_ref, fre_ref, fim_ref, k_ref, h_ref, out_ref):
+    # Mosaic cannot shape-cast (m*m, TN) <-> (m, m, TN) vectors, so the
+    # dim-2 contraction is a static per-j1 loop over row slabs instead
+    m = k_ref.shape[-1]
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]                         # (1, m)
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * k
+        cyc = cyc - jnp.round(cyc)
+        return _cos_sin_cycles(cyc)        # +theta
+
+    c1, s1 = cos_sin(0)
+    c2, s2 = cos_sin(1)
+    c3, s3 = cos_sin(2)
+    fre = fre_ref[...]                     # (m*m, m)
+    fim = fim_ref[...]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    a_re = dot(fre, c3.T) - dot(fim, s3.T)      # (m*m, TN)
+    a_im = dot(fre, s3.T) + dot(fim, c3.T)
+    tn = x.shape[0]
+    out_re = jnp.zeros((tn,), jnp.float32)
+    out_im = jnp.zeros((tn,), jnp.float32)
+    for j in range(m):
+        aj_re = a_re[j * m:(j + 1) * m, :]      # (m, TN)
+        aj_im = a_im[j * m:(j + 1) * m, :]
+        bj_re = jnp.sum(aj_re.T * c2 - aj_im.T * s2, axis=1)   # (TN,)
+        bj_im = jnp.sum(aj_re.T * s2 + aj_im.T * c2, axis=1)
+        out_re += c1[:, j] * bj_re - s1[:, j] * bj_im
+        out_im += c1[:, j] * bj_im + s1[:, j] * bj_re
+    out_ref[...] = jnp.stack([out_re, out_im], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft2_3d(x, f, h, *, mtot: int, tile: int = 128,
+                     interpret: bool | None = None, fft_order: bool = False):
+    if interpret is None:
+        interpret = not _on_tpu()
+    if mtot > _D3_MAX_MTOT:
+        raise NotImplementedError(
+            f"pallas d=3 kernels are VMEM-bounded at mtot <= {_D3_MAX_MTOT}")
+    n = x.shape[0]
+    m = mtot
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 3), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    f2 = f.reshape(m * m, m)
+    out = pl.pallas_call(
+        _type2_3d_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * m, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * m, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+        interpret=interpret,
+    )(xp, jnp.real(f2).astype(jnp.float32), jnp.imag(f2).astype(jnp.float32),
+      kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(out[:n, 0], out[:n, 1])
+
+
+def _type1_3d_kernel(x_ref, vre_ref, vim_ref, k_ref, h_ref, ore_ref,
+                     oim_ref):
+    i = pl.program_id(0)
+    m = k_ref.shape[-1]
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * k
+        cyc = cyc - jnp.round(cyc)
+        co, s = _cos_sin_cycles(cyc)
+        return co, -s                      # isign = -1
+
+    c1, s1 = cos_sin(0)                    # (TN, m)
+    c2, s2 = cos_sin(1)
+    c3, s3 = cos_sin(2)
+    vre = vre_ref[...][:, 0]
+    vim = vim_ref[...][:, 0]
+    w_re = c1 * vre[:, None] - s1 * vim[:, None]        # (TN, m)
+    w_im = c1 * vim[:, None] + s1 * vre[:, None]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    # static per-j1 loop (no (TN, m, m) -> (TN, m*m) shape cast in Mosaic):
+    # rows j*m:(j+1)*m of the output are (E2^T diag(W_j)) @ E3
+    for j in range(m):
+        uj_re = w_re[:, j:j + 1] * c2 - w_im[:, j:j + 1] * s2   # (TN, m)
+        uj_im = w_re[:, j:j + 1] * s2 + w_im[:, j:j + 1] * c2
+        acc_re = dot(uj_re.T, c3) - dot(uj_im.T, s3)            # (m, m)
+        acc_im = dot(uj_re.T, s3) + dot(uj_im.T, c3)
+        rows = slice(j * m, (j + 1) * m)
+
+        @pl.when(i == 0)
+        def _(acc_re=acc_re, acc_im=acc_im, rows=rows):
+            ore_ref[rows, :] = acc_re
+            oim_ref[rows, :] = acc_im
+
+        @pl.when(i > 0)
+        def _(acc_re=acc_re, acc_im=acc_im, rows=rows):
+            ore_ref[rows, :] += acc_re
+            oim_ref[rows, :] += acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft1_3d(x, vals, h, *, mtot: int, tile: int = 128,
+                     interpret: bool | None = None, fft_order: bool = False):
+    if interpret is None:
+        interpret = not _on_tpu()
+    if mtot > _D3_MAX_MTOT:
+        raise NotImplementedError(
+            f"pallas d=3 kernels are VMEM-bounded at mtot <= {_D3_MAX_MTOT}")
+    n = x.shape[0]
+    m = mtot
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 3), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    vre = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.real(vals).astype(jnp.float32))
+    vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
+        jnp.imag(vals).astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    ore, oim = pl.pallas_call(
+        _type1_3d_kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m * m, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * m, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((m * m, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m * m, m), jnp.float32)),
+        interpret=interpret,
+    )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(ore, oim).reshape(m, m, m)

@@ -133,3 +133,65 @@ def test_stochastic_variance_pallas_evaluation(rng):
                                    nufft_method="pallas"))
     assert np.max(np.abs(v_mxu - v_pal)) < 5e-5 * max(np.max(np.abs(v_mxu)),
                                                       1e-6)
+
+
+def test_pallas_1d_matches_mxu(rng):
+    from gpquad.ops.pallas_nufft import pallas_nufft1_1d, pallas_nufft2_1d
+    n, mtot, h = 700, 41, 0.07
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 1)), jnp.float32)
+    for fo in (False, True):
+        mxu = make_nufft(x, h, mtot, fft_order=fo)
+        f = jnp.asarray(rng.normal(size=mtot) + 1j * rng.normal(size=mtot),
+                        jnp.complex64)
+        got = np.asarray(pallas_nufft2_1d(x, f, h, mtot=mtot, fft_order=fo))
+        want = np.asarray(mxu.type2(f))
+        assert np.max(np.abs(got - want)) < 5e-5 * np.max(np.abs(want)), fo
+        v = jnp.asarray(rng.normal(size=n), jnp.complex64)
+        got1 = np.asarray(pallas_nufft1_1d(x, v, h, mtot=mtot, fft_order=fo))
+        want1 = np.asarray(mxu.type1(v))
+        assert np.max(np.abs(got1 - want1)) < 5e-5 * np.max(np.abs(want1)), fo
+
+
+def test_pallas_3d_matches_mxu(rng):
+    from gpquad.ops.pallas_nufft import pallas_nufft1_3d, pallas_nufft2_3d
+    n, mtot, h = 400, 9, 0.11
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    for fo in (False, True):
+        mxu = make_nufft(x, h, mtot, fft_order=fo)
+        f = jnp.asarray(rng.normal(size=(mtot,) * 3)
+                        + 1j * rng.normal(size=(mtot,) * 3), jnp.complex64)
+        got = np.asarray(pallas_nufft2_3d(x, f, h, mtot=mtot, fft_order=fo))
+        want = np.asarray(mxu.type2(f))
+        assert np.max(np.abs(got - want)) < 1e-4 * np.max(np.abs(want)), fo
+        v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n),
+                        jnp.complex64)
+        got1 = np.asarray(pallas_nufft1_3d(x, v, h, mtot=mtot, fft_order=fo))
+        want1 = np.asarray(mxu.type1(v))
+        assert np.max(np.abs(got1 - want1)) < 1e-4 * np.max(np.abs(want1)), fo
+
+
+def test_pallas_backend_dispatch_1d_3d(rng):
+    """make_nufft(method='pallas') round-trips d=1 and d=3 through the
+    duck-typed interface (batched type1/type2 included)."""
+    for d, mtot in ((1, 21), (3, 7)):
+        n, h = 150, 0.2
+        x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+        pal = make_nufft(x, h, mtot, method="pallas")
+        mxu = make_nufft(x, h, mtot)
+        V = jnp.asarray(rng.normal(size=(3, n)), jnp.complex64)
+        got = np.asarray(pal.type1(V))
+        want = np.asarray(mxu.type1(V))
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-4 * np.max(np.abs(want)), d
+        F = jnp.asarray(rng.normal(size=(2, mtot ** d)), jnp.complex64)
+        got2 = np.asarray(pal.type2(F))
+        want2 = np.asarray(mxu.type2(F))
+        assert np.max(np.abs(got2 - want2)) < 1e-4 * np.max(np.abs(want2)), d
+
+
+def test_pallas_3d_mtot_cap():
+    from gpquad.ops.pallas_nufft import _D3_MAX_MTOT, pallas_nufft2_3d
+    x = jnp.zeros((4, 3), jnp.float32)
+    f = jnp.zeros(((_D3_MAX_MTOT + 2) ** 3,), jnp.complex64)
+    with pytest.raises(NotImplementedError):
+        pallas_nufft2_3d(x, f, 0.1, mtot=_D3_MAX_MTOT + 2)
