@@ -29,7 +29,8 @@ from .efgp import (FitState, _cdtype, _variance_stochastic, predict_mean,
                    quadrature_weights, resolve_solver, tensor_grid)
 from .gradient import gradient_with_grid
 
-__all__ = ["FusedResult", "fit_predict_grad"]
+__all__ = ["FusedResult", "fit_predict_grad",
+           "FusedHighResult", "fit_predict_grad_high"]
 
 
 class FusedResult(NamedTuple):
@@ -110,3 +111,91 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                        mean_cg_iters=res_mean.iters,
                        trace_cg_iters=gres.trace_cg_iters,
                        mean_converged=res_mean.converged)
+
+
+class FusedHighResult(NamedTuple):
+    fused: FusedResult
+    mean_high: jnp.ndarray     # (B,) df64-accurate posterior mean
+    high_residual: jnp.ndarray # df64 relative residual of the high solve
+
+
+@partial(jax.jit, static_argnames=(
+    "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
+    "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver",
+    "nufft_method", "nufft_caps", "passes", "chunk", "slab"))
+def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
+                    ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
+                    mtot: int, trace_samples: int, var_probes: int,
+                    cg_tol: float, var_cg_tol: float, grad_cg_tol: float,
+                    max_cg_iter: int, var_max_cg_iter, solver: str,
+                    nufft_method: str, nufft_caps, passes: int, chunk: int,
+                    slab: int) -> FusedHighResult:
+    from .precision import _fit_high_core, _predict_high_jit
+    fused = fit_predict_grad(
+        x, y, xnew, kernel, sigmasq, h, key, mtot=mtot,
+        trace_samples=trace_samples, var_probes=var_probes, cg_tol=cg_tol,
+        var_cg_tol=var_cg_tol, grad_cg_tol=grad_cg_tol,
+        max_cg_iter=max_cg_iter, var_max_cg_iter=var_max_cg_iter,
+        solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps)
+    hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
+                                 sig_hi, sig_lo, mtot=mtot, passes=passes,
+                                 chunk=chunk)
+    mean_high = _predict_high_jit(xnew, hstate.beta, jnp.real(hstate.ws),
+                                  ws_lo, h_hi, h_lo, mtot=mtot,
+                                  d=x.shape[1], slab=slab)
+    return FusedHighResult(fused=fused, mean_high=mean_high,
+                           high_residual=res)
+
+
+def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
+                          passes: int = 8, chunk: int = 64, slab: int = 2048,
+                          fuse: bool = True, **kw) -> FusedHighResult:
+    """The full north-star workload as ONE compiled program: the fused f32
+    pass (mean + stochastic variance + hyper-gradient) plus the df64
+    high-precision refit + mean that delivers eps=1e-6 agreement with the
+    f64 dense oracle.  Fusing them saves the per-dispatch ~25-30 ms tunnel
+    latency of running the two paths back-to-back (the df64 planning
+    splits are host f64, so ``h``/``sigmasq``/hypers must be concrete).
+
+    ``fuse=False`` runs the two sub-programs as separate dispatches —
+    numerically identical, but XLA:CPU's compile time on the merged module
+    is pathological (tens of minutes vs ~50 s on TPU), so CPU callers and
+    the test suite use the unfused path."""
+    from .precision import split_f64_host, ws_host_f64
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    xnew = jnp.asarray(xnew)
+    if xnew.ndim == 1:
+        xnew = xnew[:, None]
+    d = x.shape[1]
+    h64 = float(h)
+    ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, d)
+    h_hi, h_lo = split_f64_host(h64)
+    sig_hi, sig_lo = split_f64_host(float(sigmasq))
+    kw.setdefault("trace_samples", 10)
+    kw.setdefault("var_probes", 256)
+    kw.setdefault("cg_tol", 1e-6)
+    kw.setdefault("var_cg_tol", 1e-4)
+    kw.setdefault("grad_cg_tol", 1e-4)
+    kw.setdefault("max_cg_iter", 1000)
+    kw.setdefault("var_max_cg_iter", None)
+    kw.setdefault("solver", "auto")
+    kw.setdefault("nufft_method", "mxu")
+    kw.setdefault("nufft_caps", None)
+    if fuse:
+        return _fused_high_jit(x, jnp.asarray(y), xnew, kernel, sigmasq, h,
+                               key, ws_hi, ws_lo, h_hi, h_lo, sig_hi,
+                               sig_lo, mtot=mtot, passes=passes, chunk=chunk,
+                               slab=slab, **kw)
+    from .precision import _fit_high_core, _predict_high_jit
+    fused = fit_predict_grad(x, jnp.asarray(y), xnew, kernel, sigmasq, h,
+                             key, mtot=mtot, **kw)
+    hstate, res = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
+                                 h_lo, sig_hi, sig_lo, mtot=mtot,
+                                 passes=passes, chunk=chunk)
+    mean_high = _predict_high_jit(xnew, hstate.beta, jnp.real(hstate.ws),
+                                  ws_lo, h_hi, h_lo, mtot=mtot, d=d,
+                                  slab=slab)
+    return FusedHighResult(fused=fused, mean_high=mean_high,
+                           high_residual=res)

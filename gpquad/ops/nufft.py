@@ -205,6 +205,8 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     ``method="pallas"`` (d in {1, 2, 3}, both mode orderings) selects the
     fused Pallas kernels, which never materialize phase matrices in HBM
     (d=3 is VMEM-bounded at mtot <= 56 per dim).
+    ``method="spread"`` (d=2, symmetric ordering) selects the classical
+    scatter/gather ES-kernel spreading backend (no cap planning needed);
     ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free
     banded spread/interp backend — fastest at very large mtot; its static
     band ``cap`` is planned on the host when ``x`` is concrete, or must be
@@ -235,6 +237,12 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
             cap = banded_plan_cap(x, float(h), mtot)
         return BandedNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
                            cap=cap)
+    if method == "spread":
+        if x.shape[1] != 2 or fft_order:
+            raise NotImplementedError(
+                "spread NUFFT supports d=2 with symmetric mode ordering")
+        from .spread_nufft import SpreadNUFFT
+        return SpreadNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
     if method != "mxu":
         raise ValueError(f"Unknown NUFFT method '{method}'")
     n, d = x.shape

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["spread_params", "spread_nufft1_2d", "spread_nufft2_2d"]
+__all__ = ["spread_params", "spread_nufft1_2d", "spread_nufft2_2d",
+           "SpreadNUFFT"]
 
 
 def spread_params(eps: float) -> Tuple[int, float]:
@@ -136,3 +137,58 @@ def spread_nufft2_2d(x, fk, h, *, mtot: int, w: int = 8):
     g = jnp.take(uf, idx.reshape(-1)).reshape(idx.shape)
     stw = (w0[:, :, None] * w1[:, None, :]).astype(g.dtype)
     return jnp.sum(g * stw, axis=(1, 2))
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SpreadNUFFT:
+    """Scatter/gather spread NUFFT with the ops/nufft.NUFFT interface.
+
+    The classical FINUFFT algorithm shape (reference efgpnd.py:1496-1548):
+    ES-kernel spreading onto a 2x fine grid + FFT + deconvolution.  On TPU
+    the banded backend (ops/spread_banded.BandedNUFFT) is usually faster —
+    XLA scatter-adds serialize — but this one has no static band cap to
+    plan, so it is the robust choice for adversarial point distributions.
+    d=2, symmetric ordering; error ~1e-{w-1}.
+    """
+    x: jnp.ndarray
+    h: jnp.ndarray
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    w: int = dataclasses.field(metadata={"static": True}, default=8)
+
+    @property
+    def d(self) -> int:
+        return 2
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    def type1(self, vals: jnp.ndarray) -> jnp.ndarray:
+        if vals.ndim == 1:
+            return spread_nufft1_2d(self.x, vals, self.h, mtot=self.mtot,
+                                    w=self.w)
+        flat = vals.reshape((-1, vals.shape[-1]))
+        out = jax.vmap(lambda v: spread_nufft1_2d(
+            self.x, v, self.h, mtot=self.mtot, w=self.w))(flat)
+        return out.reshape(vals.shape[:-1] + (self.mtot, self.mtot))
+
+    def type2(self, fk: jnp.ndarray) -> jnp.ndarray:
+        M = self.mtot ** 2
+        shape_block = (self.mtot, self.mtot)
+        if fk.shape == (M,) or fk.shape == shape_block:
+            return spread_nufft2_2d(self.x, fk.reshape(-1), self.h,
+                                    mtot=self.mtot, w=self.w)
+        lead = fk.shape[:fk.ndim - 1] if fk.shape[-1] == M else \
+            fk.shape[:fk.ndim - 2]
+        flat = fk.reshape((-1, M))
+        out = jax.vmap(lambda f: spread_nufft2_2d(
+            self.x, f, self.h, mtot=self.mtot, w=self.w))(flat)
+        return out.reshape(lead + (self.n,))
+
+
+jax.tree_util.register_dataclass(
+    SpreadNUFFT, data_fields=["x", "h"], meta_fields=["mtot", "w"]
+)

@@ -52,3 +52,39 @@ def test_fused_accepts_1d_targets(rng):
                            trace_samples=2, var_probes=8)
     assert out.mean.shape == (16,)
     assert np.all(np.isfinite(np.asarray(out.mean)))
+
+
+
+def test_fused_high_matches_separate_paths(rng):
+    """fit_predict_grad_high == (fit_predict_grad, fit_high+predict) run
+    separately.
+
+    Shapes/statics deliberately IDENTICAL to test_precision's d=2 case
+    (n=4000, mtot=11, h=0.31, 150 targets, chunk=64, slab=256, passes=8):
+    the df64 programs compile in minutes on XLA:CPU, so sharing the jit
+    signature means the suite pays that compile once, not twice.  The
+    fused one-dispatch variant is exercised on TPU by bench.py; fuse=False
+    is numerically identical.
+    """
+    from gpquad.models.pipeline import fit_predict_grad_high
+    from gpquad.models.precision import fit_high, predict_mean_high
+    n, mtot, h, sigmasq, ell = 4000, 11, 0.31, 0.05, 0.25
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    xnew = jnp.asarray(rng.uniform(0.1, 0.9, (150, 2)), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
+                                variance=jnp.float32(1.0), dimension=2)
+    key = jax.random.PRNGKey(0)
+    res = fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key,
+                                mtot=mtot, trace_samples=2, var_probes=4,
+                                chunk=64, slab=256, fuse=False)
+    sep = fit_predict_grad(x, y, xnew, kernel, sigmasq, jnp.float32(h), key,
+                           mtot=mtot, trace_samples=2, var_probes=4)
+    assert np.allclose(np.asarray(res.fused.mean), np.asarray(sep.mean),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(res.fused.grad), np.asarray(sep.grad),
+                       rtol=1e-10)
+    hs = fit_high(x, y, kernel, sigmasq, h, mtot, chunk=64)
+    mh = predict_mean_high(hs, xnew, slab=256)
+    assert np.allclose(np.asarray(res.mean_high), np.asarray(mh), atol=1e-12)
+    assert float(res.high_residual) < 1e-6
