@@ -170,8 +170,8 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                                   variance=jnp.asarray(variance, rd),
                                   dimension=d)
 
-    def _spectral(self, X, lengthscale, variance):
-        """Bucketed-grid spectral state for the current hypers."""
+    def _plan_grid(self, X, lengthscale, variance):
+        """Host-side bucketed grid plan: (kernel, h, mtot, mask)."""
         d = X.shape[1]
         kern = self._make_kernel_obj(lengthscale, variance, d)
         L = float(np.max(np.asarray(X).max(0) - np.asarray(X).min(0)))
@@ -182,6 +182,11 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         hm = int(np.ceil(float(hm_real) - 1e-12))
         mtot = bucket_mtot(2 * hm + 1)
         mask = flat_grid_mask(mtot, d, hm, dtype=self._rdtype())
+        return kern, h, mtot, mask
+
+    def _spectral(self, X, lengthscale, variance):
+        """Bucketed-grid spectral state for the current hypers."""
+        kern, h, mtot, mask = self._plan_grid(X, lengthscale, variance)
         return core.build_pg_spectral_state(X, kern, h, mtot=mtot,
                                             ws_mask=mask)
 
@@ -226,52 +231,41 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         tx = optax.adam(self.lr)
         opt_state = tx.init(raw)
 
-        # single jitted tail per outer iteration: chain rule + Adam ascent
-        # (reference maximize=True, pg_classifier.py:1283, 1329-1337) — kept
-        # compiled because eager op dispatch through the remote-TPU tunnel
-        # costs ~50-100 ms per op
-        @jax.jit
-        def adam_ascend(raw, opt_state, grad):
-            grad_raw = grad * jnp.exp(raw)
-            updates, opt_state = tx.update(-grad_raw, opt_state, raw)
-            return optax.apply_updates(raw, updates), opt_state
-
         history: List[Dict] = []
         pending: List[Dict] = []   # device scalars, fetched once at the end
         e_probes = None
-        mres = None
-        eres = None
+        ores = None
         for outer in range(self.max_iter):
             likelihood = self._make_likelihood()
             kappa = likelihood.kappa(y_t)
             pg_b = likelihood.pg_b(y_t)
             pos = np.exp(np.asarray(raw))
-            spectral = self._spectral(X_t, float(pos[0]), float(pos[1]))
+            kern, h, mtot, mask = self._plan_grid(X_t, float(pos[0]),
+                                                  float(pos[1]))
             if e_probes is None or not self.reuse_e_probes:
                 e_probes = self._rademacher(self._key(17 * (outer + 1)),
                                             (self.n_e_probes, X_t.shape[0]))
-            eres = core.estep_pass(
-                spectral, X_t, self._delta_t_, kappa, pg_b, e_probes,
-                max_iters=self.e_step_iters, rho0=self.rho0,
-                gamma=self.gamma, cg_tol=self.cg_tol, tol=self.e_step_tol)
-            self._delta_t_ = eres.delta
-            self._last_mean_, self._last_sigma_diag_ = eres.mean, \
-                eres.sigma_diag
-
-            m_probes = self._rademacher(self._key(10_000 + outer),
-                                        (self.n_m_probes, X_t.shape[0]))
-            mres = core.mstep_gradient(spectral, X_t, self._delta_t_, kappa,
-                                       m_probes, cg_tol=self.cg_tol)
-            grad = jnp.real(mres.grad)
-            raw, opt_state = adam_ascend(raw, opt_state, grad)
+            # one dispatch per outer iteration: spectral build + E-step +
+            # M-step + Adam ascent in a single compiled program
+            # (reference pg_classifier.py:1286-1337)
+            ores = core.outer_step(
+                X_t, kern, h, mask, self._delta_t_, kappa, pg_b, e_probes,
+                self._key(10_000 + outer), raw, opt_state, mtot=mtot,
+                e_iters=self.e_step_iters, n_m_probes=self.n_m_probes,
+                rho0=self.rho0, gamma=self.gamma, e_tol=self.e_step_tol,
+                cg_tol=self.cg_tol, lr=self.lr)
+            self._delta_t_ = ores.delta
+            self._last_mean_, self._last_sigma_diag_ = ores.mean, \
+                ores.sigma_diag
+            raw, opt_state = ores.raw, ores.opt_state
 
             aux = self._step_auxiliary_parameters(targets=y_t, outer=outer)
-            record = {"iter": float(outer), "raw": raw, "grad": grad,
-                      "e_residual": eres.residual,
-                      "e_iters_used": eres.iters_used,
-                      "e_cg_iters": eres.cg_iters,
-                      "m_cg_iters": mres.cg_iters,
-                      "mean": eres.mean, "sigma_diag": eres.sigma_diag,
+            record = {"iter": float(outer), "raw": raw, "grad": ores.m_grad,
+                      "e_residual": ores.e_residual,
+                      "e_iters_used": ores.e_iters_used,
+                      "e_cg_iters": ores.e_cg_iters,
+                      "m_cg_iters": ores.m_cg_iters,
+                      "mean": ores.mean, "sigma_diag": ores.sigma_diag,
                       "aux": aux, "history_key": likelihood.history_key}
             pending.append(record)
             if self.verbose:
@@ -338,8 +332,8 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self.training_metric_ = likelihood.fit_metric(
             eres.mean, eres.sigma_diag, y_t)
         setattr(self, likelihood.training_attr, self.training_metric_)
-        self.m_step_gradient_ = (np.asarray(jnp.real(mres.grad))
-                                 if mres is not None else np.zeros(2))
+        self.m_step_gradient_ = (np.asarray(ores.m_grad)
+                                 if ores is not None else np.zeros(2))
         self.beta_mean_ = (np.asarray(jnp.real(beta_mean))
                            + 1j * np.asarray(jnp.imag(beta_mean)))
 

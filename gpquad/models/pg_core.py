@@ -41,6 +41,7 @@ __all__ = [
     "negative_binomial_gaussian_mean", "expected_log_sigmoid_neg_gaussian",
     "negative_binomial_total_count_gradient",
     "estep_pass", "mstep_gradient", "solve_beta_mean",
+    "outer_step", "OuterStepResult",
     "predictive_mean", "predictive_variance_exact",
     "predictive_variance_exact_batched",
     "stochastic_variance_sums", "evaluate_variance_sums",
@@ -532,3 +533,62 @@ def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
     interp = jnp.einsum(expr, *[m.astype(node_grid.dtype) for m in mats],
                         node_grid)
     return jnp.maximum(interp, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fused outer step
+# ---------------------------------------------------------------------------
+
+class OuterStepResult(NamedTuple):
+    delta: jnp.ndarray
+    mean: jnp.ndarray
+    sigma_diag: jnp.ndarray
+    e_residual: jnp.ndarray
+    e_iters_used: jnp.ndarray
+    e_cg_iters: jnp.ndarray
+    m_grad: jnp.ndarray
+    m_cg_iters: jnp.ndarray
+    raw: jnp.ndarray
+    opt_state: tuple
+
+
+@partial(jax.jit, static_argnames=("mtot", "e_iters", "n_m_probes",
+                                   "cg_tol", "max_cg_iter", "lr"))
+def outer_step(x, kern, h, ws_mask, delta, kappa, pg_b, e_probes, m_key,
+               raw, opt_state, *, mtot: int, e_iters: int, n_m_probes: int,
+               rho0: float, gamma: float, e_tol, cg_tol: float, lr: float,
+               max_cg_iter: int = 2000) -> OuterStepResult:
+    """One full EM outer iteration as a single compiled program: spectral
+    state build + damped E-step + stochastic M-step + Adam ascent.
+
+    Replaces the estimator loop's 8-9 separate dispatches (each ~25-100 ms
+    through the remote-TPU tunnel) with one, and collapses the per-bucket
+    compile set (build/estep/mstep/adam) into one executable.  Matches the
+    reference's per-iteration flow (pg_classifier.py:1286-1337) exactly;
+    the m-step Rademacher probes are drawn inside from ``m_key``
+    (reference seed 10_000 + outer, pg_classifier.py:1318).
+    """
+    import optax
+
+    spectral = build_pg_spectral_state(x, kern, h, mtot=mtot,
+                                       ws_mask=ws_mask)
+    eres = estep_pass(spectral, x, delta, kappa, pg_b, e_probes,
+                      max_iters=e_iters, rho0=rho0, gamma=gamma,
+                      cg_tol=cg_tol, max_cg_iter=max_cg_iter, tol=e_tol)
+    n = x.shape[0]
+    m_probes = (jax.random.bernoulli(m_key, 0.5, (n_m_probes, n)) * 2 - 1
+                ).astype(kappa.dtype)
+    mres = mstep_gradient(spectral, x, eres.delta, kappa, m_probes,
+                          cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+    grad = jnp.real(mres.grad)
+    tx = optax.adam(lr)
+    grad_raw = grad * jnp.exp(raw)
+    updates, opt_state = tx.update(-grad_raw, opt_state, raw)
+    raw = optax.apply_updates(raw, updates)
+    return OuterStepResult(delta=eres.delta, mean=eres.mean,
+                           sigma_diag=eres.sigma_diag,
+                           e_residual=eres.residual,
+                           e_iters_used=eres.iters_used,
+                           e_cg_iters=eres.cg_iters, m_grad=grad,
+                           m_cg_iters=mres.cg_iters, raw=raw,
+                           opt_state=opt_state)
