@@ -14,9 +14,24 @@ import jax as _jax
 # the remote-TPU tunnel run minutes (the PG module's cold start is ~7 min);
 # the cache turns every later process's cold start into a disk read.
 # Opt out with GPQUAD_NO_COMPILE_CACHE=1; an explicit user-configured cache
-# (env or prior jax.config call) always wins.
+# (env or prior jax.config call) always wins.  CPU-pinned processes are
+# excluded: XLA:CPU AOT cache entries encode machine features that can
+# mismatch across processes (observed "+prefer-no-scatter ... could lead
+# to SIGILL" loads), and CPU compiles are local anyway.
+def _cpu_pinned() -> bool:
+    # "cpu" must be the PRIMARY platform (the image pins "axon,cpu" with
+    # cpu as mere fallback — that should still cache)
+    for src in (_os.environ.get("JAX_PLATFORMS", ""),
+                str(getattr(_jax.config, "jax_platforms", None) or "")):
+        first = src.split(",")[0].strip().lower()
+        if first == "cpu":
+            return True
+    return False
+
+
 if not _os.environ.get("GPQUAD_NO_COMPILE_CACHE") \
-        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        and not _cpu_pinned():
     try:
         if _jax.config.jax_compilation_cache_dir is None:
             _jax.config.update(
