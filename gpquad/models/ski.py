@@ -110,18 +110,27 @@ def _cubic_weights(t):
     return jnp.stack([f2(t + 1.0), f1(t), f1(1.0 - t), f2(2.0 - t)], axis=-1)
 
 
-class SKIOperator:
-    """W K_grid W^T + sigma^2 I with precomputed interpolation stencils."""
+import dataclasses
 
-    def __init__(self, idx, wvals, toeplitz: ToeplitzND,
-                 grid_shape: Tuple[int, ...], lo, dx):
-        self.idx = idx          # (n, 4^d) int32 flat grid indices
-        self.wvals = wvals      # (n, 4^d) real weights
-        self.toeplitz = toeplitz
-        self.grid_shape = grid_shape
-        self.lo = lo
-        self.dx = dx
-        self.M = int(np.prod(grid_shape))
+
+@dataclasses.dataclass(frozen=True)
+class SKIOperator:
+    """W K_grid W^T + sigma^2 I with precomputed interpolation stencils.
+
+    Registered as a pytree so it can cross jit boundaries as an argument
+    (the axon TPU runtime rejects complex closure constants, so the
+    Toeplitz spectrum must travel as data, not be baked into programs)."""
+    idx: jnp.ndarray            # (n, 4^d) int32 flat grid indices
+    wvals: jnp.ndarray          # (n, 4^d) real weights
+    toeplitz: Optional[ToeplitzND]
+    grid_shape: Tuple[int, ...] = dataclasses.field(
+        metadata={"static": True}, default=())
+    lo: Optional[jnp.ndarray] = None
+    dx: Optional[jnp.ndarray] = None
+
+    @property
+    def M(self) -> int:
+        return int(np.prod(self.grid_shape))
 
     def interp(self, v):
         """W v: grid -> points; v (..., M) -> (..., n)."""
@@ -142,6 +151,12 @@ class SKIOperator:
         T = toeplitz if toeplitz is not None else self.toeplitz
         Kg = T(self.interp_T(v)).real.astype(v.dtype)
         return self.interp(Kg) + sigmasq * v
+
+
+jax.tree_util.register_dataclass(
+    SKIOperator, data_fields=["idx", "wvals", "toeplitz", "lo", "dx"],
+    meta_fields=["grid_shape"],
+)
 
 
 def _grid_lag_table(kernel, grid_shape, dx):
@@ -214,7 +229,8 @@ def _ski_loss_and_grad(idx, wvals, x, y, kernel, sigmasq, key, *,
     """
     n = y.shape[0]
     rdtype = y.dtype
-    op = SKIOperator(idx, wvals, None, grid_shape, None, dx)
+    op = SKIOperator(idx=idx, wvals=wvals, toeplitz=None,
+                     grid_shape=grid_shape, lo=None, dx=dx)
     lag = _grid_lag_table(kernel, grid_shape, dx)
     cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     T = make_toeplitz(lag.astype(cdtype))
@@ -485,8 +501,11 @@ def ski_predict_var(fit: Dict[str, Any], x_new, *, batch_size: int = 256,
                                                   (pad, x_new.shape[1]))]
                          ) if pad else x_new
 
+    # T and the stencil arrays enter as jit ARGUMENTS (pytrees), not
+    # closure constants: the axon TPU runtime rejects large eager complex
+    # constants embedded in compiled programs
     @jax.jit
-    def chunk_var(xc):
+    def chunk_var(xc, op, T, sigmasq, k0):
         idx, wv = _point_stencils(op, xc, rdtype)
         # W_*^T rows scattered onto the grid: (b, M)
         u = jnp.zeros((xc.shape[0], op.M), rdtype)
@@ -496,6 +515,7 @@ def ski_predict_var(fit: Dict[str, Any], x_new, *, batch_size: int = 256,
                   tol=cg_tol, maxiter=max_cg_iter)
         return jnp.maximum(k0 - jnp.sum(kstar * sol.x, axis=-1), 0.0)
 
-    out = [chunk_var(jax.lax.dynamic_slice_in_dim(xp, s, b))
+    out = [chunk_var(jax.lax.dynamic_slice_in_dim(xp, s, b), op, T,
+                     sigmasq, k0)
            for s in range(0, n_new + pad, b)]
     return jnp.concatenate(out)[:n_new]
