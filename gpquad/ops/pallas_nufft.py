@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_nufft2_2d", "pallas_nufft1_2d",
            "pallas_nufft2_1d", "pallas_nufft1_1d",
-           "pallas_nufft2_3d", "pallas_nufft1_3d", "PallasNUFFT"]
+           "pallas_nufft2_3d", "pallas_nufft1_3d",
+           "pallas_nufft1_2d_batched", "pallas_nufft2_2d_batched",
+           "PallasNUFFT"]
 
 
 def _k_values(m: int, fft_order: bool):
@@ -270,15 +272,30 @@ class PallasNUFFT:
         return {1: pallas_nufft2_1d, 2: pallas_nufft2_2d,
                 3: pallas_nufft2_3d}[self.d]
 
+    def _batched_fits(self, B: int) -> bool:
+        """One-launch in-kernel batching for d=2 when (B, m, m) f32 pairs
+        fit VMEM (single-block kernels only)."""
+        m = self.mtot
+        return (self.d == 2 and m <= _MODE_TILE
+                and B * m * m <= _BATCH_VMEM_BUDGET)
+
     def type1(self, vals):
         f = self._t1()
         if vals.ndim == 1:
             return f(self.x, vals, self.h, mtot=self.mtot,
                      fft_order=self.fft_order)
-        return jax.lax.map(
+        lead = vals.shape[:-1]
+        flat = vals.reshape((-1, vals.shape[-1]))
+        if self._batched_fits(flat.shape[0]):
+            out = pallas_nufft1_2d_batched(self.x, flat, self.h,
+                                           mtot=self.mtot,
+                                           fft_order=self.fft_order)
+            return out.reshape(lead + (self.mtot,) * self.d)
+        out = jax.lax.map(
             lambda v: f(self.x, v, self.h, mtot=self.mtot,
                         fft_order=self.fft_order),
-            vals)
+            flat)
+        return out.reshape(lead + (self.mtot,) * self.d)
 
     def type2(self, fk):
         f2 = self._t2()
@@ -289,6 +306,10 @@ class PallasNUFFT:
             return f2(self.x, fk, self.h, mtot=m, fft_order=self.fft_order)
         lead = fk.shape[:-1] if fk.shape[-1] == M else fk.shape[:-self.d]
         flat = fk.reshape((-1,) + block)
+        if self._batched_fits(flat.shape[0]):
+            out = pallas_nufft2_2d_batched(self.x, flat, self.h, mtot=m,
+                                           fft_order=self.fft_order)
+            return out.reshape(lead + (self.n,))
         out = jax.lax.map(
             lambda f: f2(self.x, f, self.h, mtot=m,
                          fft_order=self.fft_order), flat)
@@ -762,3 +783,163 @@ def pallas_nufft1_3d(x, vals, h, *, mtot: int, tile: int = 128,
         interpret=interpret,
     )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
     return jax.lax.complex(ore, oim).reshape(m, m, m)
+
+
+# ---------------------------------------------------------------------------
+# batched d=2 kernels: the batch dimension lives INSIDE the kernel, so one
+# launch serves all B coefficient blocks / point-value rows and the
+# phase transcendentals are computed once per point-tile instead of once
+# per batch element (PallasNUFFT.type1/type2 previously lax.map-ed one
+# launch per element).  Single-block only: VMEM must hold (B, m, m) f32
+# pairs, so the dispatch falls back to lax.map when B * m^2 is large.
+# ---------------------------------------------------------------------------
+
+_BATCH_VMEM_BUDGET = 2 ** 21          # f32 elements per (re, im) pair
+
+
+def _type2_kernel_b(x_ref, fre_ref, fim_ref, k_ref, h_ref, out_ref):
+    b = fre_ref.shape[0]
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * k
+        cyc = cyc - jnp.round(cyc)
+        return _cos_sin_cycles(cyc)
+
+    c1, s1 = cos_sin(0)
+    c2, s2 = cos_sin(1)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    for j in range(b):
+        fre = fre_ref[j]
+        fim = fim_ref[j]
+        t_re = dot(fre, c2.T) - dot(fim, s2.T)
+        t_im = dot(fre, s2.T) + dot(fim, c2.T)
+        out_re = jnp.sum(c1 * t_re.T - s1 * t_im.T, axis=1)
+        out_im = jnp.sum(c1 * t_im.T + s1 * t_re.T, axis=1)
+        out_ref[j] = jnp.stack([out_re, out_im], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft2_2d_batched(x, f, h, *, mtot: int, tile: int = 512,
+                             interpret: bool | None = None,
+                             fft_order: bool = False):
+    """Batched fused type-2: ``f`` (B, mtot, mtot) -> (B, N)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    B = f.shape[0]
+    f = f.reshape(B, m, m)
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    out = pl.pallas_call(
+        _type2_kernel_b,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile, 2), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npad, 2), jnp.float32),
+        interpret=interpret,
+    )(xp, jnp.real(f).astype(jnp.float32), jnp.imag(f).astype(jnp.float32),
+      kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(out[:, :n, 0], out[:, :n, 1])
+
+
+def _type1_kernel_b(x_ref, vre_ref, vim_ref, k_ref, h_ref, ore_ref, oim_ref):
+    i = pl.program_id(0)
+    b = vre_ref.shape[1]
+    x = x_ref[...]
+    h = h_ref[0]
+    k = k_ref[...]
+
+    def cos_sin(col):
+        t = x[:, col] * h
+        u = t - jnp.round(t)
+        cyc = u[:, None] * k
+        cyc = cyc - jnp.round(cyc)
+        co, s = _cos_sin_cycles(cyc)
+        return co, -s                      # isign = -1
+
+    c1, s1 = cos_sin(0)
+    c2, s2 = cos_sin(1)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    for j in range(b):
+        vre = vre_ref[..., j]
+        vim = vim_ref[..., j]
+        w_re = c1 * vre[:, None] - s1 * vim[:, None]
+        w_im = c1 * vim[:, None] + s1 * vre[:, None]
+        acc_re = dot(w_re.T, c2) - dot(w_im.T, s2)
+        acc_im = dot(w_re.T, s2) + dot(w_im.T, c2)
+
+        @pl.when(i == 0)
+        def _(acc_re=acc_re, acc_im=acc_im, j=j):
+            ore_ref[j] = acc_re
+            oim_ref[j] = acc_im
+
+        @pl.when(i > 0)
+        def _(acc_re=acc_re, acc_im=acc_im, j=j):
+            ore_ref[j] += acc_re
+            oim_ref[j] += acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "tile", "interpret",
+                                             "fft_order"))
+def pallas_nufft1_2d_batched(x, vals, h, *, mtot: int, tile: int = 512,
+                             interpret: bool | None = None,
+                             fft_order: bool = False):
+    """Batched fused type-1: ``vals`` (B, N) -> (B, mtot, mtot)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = x.shape[0]
+    m = mtot
+    B = vals.shape[0]
+    ntile = -(-n // tile)
+    npad = ntile * tile
+    xp = jnp.zeros((npad, 2), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    vre = jnp.zeros((npad, B), jnp.float32).at[:n].set(
+        jnp.real(vals).T.astype(jnp.float32))
+    vim = jnp.zeros((npad, B), jnp.float32).at[:n].set(
+        jnp.imag(vals).T.astype(jnp.float32))
+    kvals = _k_values(m, fft_order).reshape(1, m)
+    ore, oim = pl.pallas_call(
+        _type1_kernel_b,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, m, m), jnp.float32),
+                   jax.ShapeDtypeStruct((B, m, m), jnp.float32)),
+        interpret=interpret,
+    )(xp, vre, vim, kvals, jnp.asarray([h], jnp.float32))
+    return jax.lax.complex(ore, oim)

@@ -195,3 +195,26 @@ def test_pallas_3d_mtot_cap():
     f = jnp.zeros(((_D3_MAX_MTOT + 2) ** 3,), jnp.complex64)
     with pytest.raises(NotImplementedError):
         pallas_nufft2_3d(x, f, 0.1, mtot=_D3_MAX_MTOT + 2)
+
+
+def test_pallas_batched_kernels_match_map(rng):
+    """In-kernel batched d=2 applies == per-element launches == MXU."""
+    n, mtot, h, B = 400, 25, 0.06, 5
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    pal = make_nufft(x, h, mtot, method="pallas")
+    mxu = make_nufft(x, h, mtot)
+    assert pal._batched_fits(B)
+    V = jnp.asarray(rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n)),
+                    jnp.complex64)
+    got = np.asarray(pal.type1(V))
+    want = np.asarray(mxu.type1(V))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 5e-5 * np.max(np.abs(want))
+    F = jnp.asarray(rng.normal(size=(B, mtot * mtot)), jnp.complex64)
+    got2 = np.asarray(pal.type2(F))
+    want2 = np.asarray(mxu.type2(F))
+    assert np.max(np.abs(got2 - want2)) < 5e-5 * np.max(np.abs(want2))
+    # 3-D leading batch reshapes
+    F3 = F.reshape(B, mtot, mtot)
+    got3 = np.asarray(pal.type2(F3))
+    assert np.allclose(got3, got2)
