@@ -100,9 +100,9 @@ def df_nufft1(x: jnp.ndarray, vals: jnp.ndarray, h_df, mtot: int, *,
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
-    if d > 2:
+    if d > 3:
         raise NotImplementedError(
-            "df64 NUFFT supports d <= 2 (high-precision path)")
+            "df64 NUFFT supports d <= 3 (high-precision path)")
     rdtype = x.dtype
     cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     npad = _pad_pow2_chunks(n, chunk)
@@ -124,16 +124,41 @@ def df_nufft1(x: jnp.ndarray, vals: jnp.ndarray, h_df, mtot: int, *,
                                  jnp.zeros_like(hi)))
 
     (E2_hi, E2_lo), _, _ = df_phase_factors(x[:, 1], h_df, mtot, isign=-1)
-    w_hi = (E1_hi * v[:, None]).reshape(nc, chunk, mtot)
-    w_lo = (E1_lo * v[:, None]).reshape(nc, chunk, mtot)
-    e2_hi = E2_hi.reshape(nc, chunk, mtot)
-    e2_lo = E2_lo.reshape(nc, chunk, mtot)
-    main = jnp.einsum("cnj,cnk->cjk", w_hi, e2_hi, precision=_HI)
-    cross = (jnp.einsum("cnj,cnk->cjk", w_hi, e2_lo, precision=_HI)
-             + jnp.einsum("cnj,cnk->cjk", w_lo, e2_hi, precision=_HI))
-    hi, lo = df_sum_tree((main, jnp.zeros_like(main)), axis=0)
-    out = df_add((hi, lo), (jnp.sum(cross, axis=0), jnp.zeros_like(hi)))
-    return out[0].reshape(-1), out[1].reshape(-1)
+    if d == 2:
+        w_hi = (E1_hi * v[:, None]).reshape(nc, chunk, mtot)
+        w_lo = (E1_lo * v[:, None]).reshape(nc, chunk, mtot)
+        e2_hi = E2_hi.reshape(nc, chunk, mtot)
+        e2_lo = E2_lo.reshape(nc, chunk, mtot)
+        main = jnp.einsum("cnj,cnk->cjk", w_hi, e2_hi, precision=_HI)
+        cross = (jnp.einsum("cnj,cnk->cjk", w_hi, e2_lo, precision=_HI)
+                 + jnp.einsum("cnj,cnk->cjk", w_lo, e2_hi, precision=_HI))
+        hi, lo = df_sum_tree((main, jnp.zeros_like(main)), axis=0)
+        out = df_add((hi, lo), (jnp.sum(cross, axis=0), jnp.zeros_like(hi)))
+        return out[0].reshape(-1), out[1].reshape(-1)
+
+    # d == 3: per j1 mode column, run the d=2 contraction over dims 2-3
+    # (sequential lax.map bounds memory at O(npad * mtot); the lo*lo
+    # double-cross terms are 2^-48-scale and dropped like the d=2 path)
+    (E3_hi, E3_lo), _, _ = df_phase_factors(x[:, 2], h_df, mtot, isign=-1)
+    e3_hi = E3_hi.reshape(nc, chunk, mtot)
+    e3_lo = E3_lo.reshape(nc, chunk, mtot)
+
+    def per_j(cols):
+        e1c_hi, e1c_lo = cols               # (npad,) each
+        v1_hi = e1c_hi * v
+        v1_lo = e1c_lo * v
+        w_hi = (E2_hi * v1_hi[:, None]).reshape(nc, chunk, mtot)
+        w_lo = (E2_lo * v1_hi[:, None]
+                + E2_hi * v1_lo[:, None]).reshape(nc, chunk, mtot)
+        main = jnp.einsum("cnk,cnl->ckl", w_hi, e3_hi, precision=_HI)
+        cross = (jnp.einsum("cnk,cnl->ckl", w_hi, e3_lo, precision=_HI)
+                 + jnp.einsum("cnk,cnl->ckl", w_lo, e3_hi, precision=_HI))
+        hi, lo = df_sum_tree((main, jnp.zeros_like(main)), axis=0)
+        return df_add((hi, lo), (jnp.sum(cross, axis=0),
+                                 jnp.zeros_like(hi)))
+
+    hi, lo = lax.map(per_j, (E1_hi.T, E1_lo.T))      # (mtot, mtot, mtot)
+    return hi.reshape(-1), lo.reshape(-1)
 
 
 def _cdf_mul(xr, xi, yr, yi):
@@ -153,9 +178,11 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
     if x_new.ndim == 1:
         x_new = x_new[:, None]
     nt, d = x_new.shape
-    if d > 2:
+    if d > 3:
         raise NotImplementedError(
-            "df64 NUFFT supports d <= 2 (high-precision path)")
+            "df64 NUFFT supports d <= 3 (high-precision path)")
+    if d == 3:
+        slab = min(slab, 256)    # (s, m, m, m) df temporaries bound memory
     rdtype = x_new.dtype
     npad = _pad_pow2_chunks(nt, slab)
     if npad != nt:
@@ -173,6 +200,23 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
                               cos1_b(cos1), sin1_b(sin1))
             return df_sum_tree(tr, axis=-1)
         _, cos2, sin2 = df_phase_factors(xs[:, 1], h_df, mtot, isign=+1)
+        if d == 3:
+            _, cos3, sin3 = df_phase_factors(xs[:, 2], h_df, mtot,
+                                             isign=+1)
+            # stage 0: contract modes l (last axis) against dim-3 phases
+            c3r = (cos3[0][:, None, None, :], cos3[1][:, None, None, :])
+            c3i = (sin3[0][:, None, None, :], sin3[1][:, None, None, :])
+            tr, ti = _cdf_mul((cr[0][None], cr[1][None]),
+                              (ci[0][None], ci[1][None]), c3r, c3i)
+            tr = df_sum_tree(tr, axis=-1)       # (s, m, m) df
+            ti = df_sum_tree(ti, axis=-1)
+            c2r = (cos2[0][:, None, :], cos2[1][:, None, :])
+            c2i = (sin2[0][:, None, :], sin2[1][:, None, :])
+            tr, ti = _cdf_mul(tr, ti, c2r, c2i)
+            tr = df_sum_tree(tr, axis=-1)       # (s, m) df
+            ti = df_sum_tree(ti, axis=-1)
+            rr, _ = _cdf_mul(tr, ti, cos1, sin1)
+            return df_sum_tree(rr, axis=-1)
         # stage 1: contract modes k (last axis) against dim-2 phases
         c2r = (cos2[0][:, None, :], cos2[1][:, None, :])
         c2i = (sin2[0][:, None, :], sin2[1][:, None, :])

@@ -106,10 +106,33 @@ def test_fit_high_matern(rng):
     assert np.max(np.abs(np.asarray(mean, np.float64) - ref)) < 5e-6
 
 
-def test_fit_high_d3_raises(rng):
-    x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
-    y = jnp.asarray(rng.normal(size=64), jnp.float32)
-    kernel = SquaredExponential(lengthscale=jnp.float32(0.3),
+def test_fit_high_d3_matches_f64_oracle(rng):
+    """d=3 high-precision path (df64 NUFFT extended in round 2) vs the
+    dense f64 oracle at a small grid (the df64 dense Gram is O(M^2), so
+    d=3 is practical for mtot up to ~25)."""
+    n, mtot, h, sigmasq, ell = 3000, 7, 0.35, 0.05, 0.35
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    xt = jnp.asarray(rng.uniform(0.1, 0.9, (60, 3)), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
                                 variance=jnp.float32(1.0), dimension=3)
+    hs = fit_high(x, y, kernel, sigmasq, h, mtot, chunk=64)
+    mean = predict_mean_high(hs, xt, slab=256)
+
+    def density(xi):
+        nsq = np.sum(xi * xi, axis=1)
+        return (2 * np.pi * ell * ell) ** 1.5 * np.exp(
+            -2 * np.pi ** 2 * ell * ell * nsq)
+
+    ref = _oracle(density, np.asarray(x, np.float64),
+                  np.asarray(y, np.float64), h, mtot, 3, sigmasq,
+                  np.asarray(xt, np.float64))
+    assert np.max(np.abs(np.asarray(mean, np.float64) - ref)) < 5e-6
+
+
+def test_df_nufft_d4_raises(rng):
+    from gpquad.ops.nufft_df import df_nufft1
+    from gpquad.models.precision import split_f64_host
+    x = jnp.asarray(rng.uniform(0, 1, (16, 4)), jnp.float32)
     with pytest.raises(NotImplementedError):
-        fit_high(x, y, kernel, 0.1, 0.4, 5)
+        df_nufft1(x, jnp.ones(16, jnp.complex64), split_f64_host(0.3), 5)
