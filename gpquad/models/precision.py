@@ -31,11 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.cg import pcg
 from ..ops.chol import hpd_inverse
-from ..ops.dense_solve import dense_lag_gather_indices
+from ..ops.dense_solve import DENSE_SOLVER_MAX_M, dense_lag_gather_indices
 from ..ops.df64 import df_add, df_mul, df_mul_f, df_sub, df_sum_tree
 from ..ops.nufft_df import df_nufft1, df_nufft2_real, split_f64_host
+from ..ops.operators import make_A_mean, make_jacobi_precond
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
+from ..ops.toeplitz_df import make_toeplitz_df, toeplitz_df_matvec
 from .efgp import FitState, tensor_grid
 
 __all__ = ["HighState", "ws_host_f64", "fit_high", "predict_mean_high"]
@@ -49,6 +52,7 @@ class HighState(NamedTuple):
     state: FitState
     ws_lo: jnp.ndarray      # (M,) f32 low word of the f64 quadrature weights
     h_lo: jnp.ndarray       # scalar f32 low word of the f64 grid spacing
+    beta_lo: Optional[jnp.ndarray] = None   # (M,) complex64 low word of beta
 
 
 def _spectral_density_np(kernel, xi: np.ndarray) -> np.ndarray:
@@ -156,30 +160,139 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     return state, res / bn
 
 
+@partial(jax.jit, static_argnames=("mtot", "passes", "chunk", "cg_tol",
+                                   "max_cg_iter", "ir_tol", "ir_maxiter"))
+def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
+                        mtot: int, passes: int, chunk: int,
+                        cg_tol: float, max_cg_iter: int,
+                        ir_tol: float, ir_maxiter: int):
+    """Matrix-free high-precision fit for grids past the dense-solver
+    window: f32 Jacobi-PCG solves (ops/cg.py) refined against df64
+    residuals from the df64 Toeplitz matvec (ops/toeplitz_df.py).
+
+    Error chain: the inner f32 CG stalls near its ~1e-7 relative-residual
+    representation floor; each refinement pass recomputes the TRUE residual
+    in df64 (~1e-13 matvec accuracy) and solves the correction system to a
+    loose ``ir_tol``, contracting the true residual by ~ir_tol per pass —
+    two passes reach the ~1e-9 residual the 1e-6 mean-agreement target
+    needs (matching the reference's universal f64 discipline,
+    verify_efgpnd_exact_small.py:19-24, on f32-only hardware).
+    """
+    n, d = x.shape
+    m = (mtot - 1) // 2
+    h_df = (h_hi, h_lo)
+    ws_df = (ws_hi, ws_lo)
+    sig_df = (sig_hi, sig_lo)
+
+    # rhs b = D F* y in df64
+    Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
+    b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
+
+    # Toeplitz lag table in df64 -> f32 operator + df64 symbol
+    ones = jnp.ones((n,), x.dtype)
+    v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    reshape = (4 * m + 1,) * d
+    v_cdf = ((jnp.real(v_hi).reshape(reshape),
+              jnp.real(v_lo).reshape(reshape)),
+             (jnp.imag(v_hi).reshape(reshape),
+              jnp.imag(v_lo).reshape(reshape)))
+    T_df = make_toeplitz_df(v_cdf, d)
+    v_c = lax.complex(jnp.real(v_hi), jnp.imag(v_hi)).reshape(reshape)
+    toeplitz = make_toeplitz(v_c)
+    ws_c = ws_hi.astype(v_c.dtype)
+    A_mean = make_A_mean(ws_c, toeplitz, sig_hi)
+    M_inv = make_jacobi_precond(ws_c, sig_hi,
+                                diag_scale=toeplitz_diag_scale(v_c))
+
+    def A_df(beta_re, beta_im):
+        u = (df_mul(ws_df, beta_re), df_mul(ws_df, beta_im))
+        t_re, t_im = toeplitz_df_matvec(T_df, u)
+        a_re = df_add(df_mul(ws_df, t_re), df_mul(sig_df, beta_re))
+        a_im = df_add(df_mul(ws_df, t_im), df_mul(sig_df, beta_im))
+        return a_re, a_im
+
+    b_c = lax.complex(b_re[0] + b_re[1], b_im[0] + b_im[1])
+    res0 = pcg(A_mean, b_c, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
+    beta_re = (jnp.real(res0.x), jnp.zeros_like(ws_hi))
+    beta_im = (jnp.imag(res0.x), jnp.zeros_like(ws_hi))
+    iters = res0.iters
+    for _ in range(passes):
+        a_re, a_im = A_df(beta_re, beta_im)
+        rr = df_sub(b_re, a_re)
+        ri = df_sub(b_im, a_im)
+        r32 = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
+        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter, M_inv=M_inv)
+        beta_re = df_add(beta_re, (jnp.real(corr.x),
+                                   jnp.zeros_like(ws_hi)))
+        beta_im = df_add(beta_im, (jnp.imag(corr.x),
+                                   jnp.zeros_like(ws_hi)))
+        iters = iters + corr.iters
+
+    a_re, a_im = A_df(beta_re, beta_im)
+    rr = df_sub(b_re, a_re)
+    ri = df_sub(b_im, a_im)
+    res = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2 + (ri[0] + ri[1]) ** 2))
+    bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
+
+    beta = lax.complex(beta_re[0], beta_im[0])
+    beta_lo = lax.complex(beta_re[1], beta_im[1])
+    state = FitState(beta=beta, ws=ws_c, h=h_hi, sigmasq=sig_hi,
+                     toeplitz=toeplitz, mean_cg_iters=iters,
+                     diag_scale=toeplitz_diag_scale(v_c),
+                     mtot=mtot, d=d)
+    return state, beta_lo, res / bn
+
+
 def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
-             chunk: int = 64) -> HighState:
+             chunk: int = 64, solver: str = "auto",
+             cg_tol: float = 1e-6, max_cg_iter: int = 2000,
+             ir_passes: int = 3, ir_tol: float = 1e-2,
+             ir_maxiter: int = 400) -> HighState:
     """High-precision fit.  ``h``, ``sigmasq`` and the kernel hypers must
-    be concrete (host f64 planning values), not jit tracers."""
+    be concrete (host f64 planning values), not jit tracers.
+
+    ``solver``: 'auto' uses the dense df64 operator while
+    ``M <= DENSE_SOLVER_MAX_M`` and the matrix-free df64-Toeplitz
+    refinement beyond ('dense' / 'iterative' force a branch).
+    """
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
     d = x.shape[1]
+    M = mtot ** d
+    if solver == "auto":
+        solver = "dense" if M <= DENSE_SOLVER_MAX_M else "iterative"
+    if solver not in ("dense", "iterative"):
+        raise ValueError(
+            f"Unknown solver '{solver}' (auto | dense | iterative)")
+    if solver == "dense" and M > DENSE_SOLVER_MAX_M:
+        raise ValueError(
+            f"solver='dense' materializes a df64 {M}x{M} operator; "
+            f"M={M} exceeds DENSE_SOLVER_MAX_M={DENSE_SOLVER_MAX_M}. "
+            f"Use solver='iterative' (matrix-free df64 refinement).")
     h64 = float(h)
     ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, d)
     h_hi, h_lo = split_f64_host(h64)
     sig_hi, sig_lo = split_f64_host(float(sigmasq))
-    state, _ = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo,
-                              sig_hi, sig_lo, mtot=mtot, passes=passes,
-                              chunk=chunk)
-    return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo)
+    if solver == "dense":
+        state, _ = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
+                                  h_lo, sig_hi, sig_lo, mtot=mtot,
+                                  passes=passes, chunk=chunk)
+        return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo)
+    state, beta_lo, _ = _fit_high_iter_core(
+        x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
+        mtot=mtot, passes=ir_passes, chunk=chunk, cg_tol=cg_tol,
+        max_cg_iter=max_cg_iter, ir_tol=ir_tol, ir_maxiter=ir_maxiter)
+    return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo, beta_lo=beta_lo)
 
 
 @partial(jax.jit, static_argnames=("mtot", "d", "slab"))
-def _predict_high_jit(x_new, beta, ws_hi, ws_lo, h_hi, h_lo, *, mtot: int,
-                      d: int, slab: int = 2048):
+def _predict_high_jit(x_new, beta, beta_lo, ws_hi, ws_lo, h_hi, h_lo, *,
+                      mtot: int, d: int, slab: int = 2048):
     ws_df = (ws_hi, ws_lo)
-    c_re = df_mul_f(ws_df, jnp.real(beta))
-    c_im = df_mul_f(ws_df, jnp.imag(beta))
+    c_re = df_mul(ws_df, (jnp.real(beta), jnp.real(beta_lo)))
+    c_im = df_mul(ws_df, (jnp.imag(beta), jnp.imag(beta_lo)))
     hi, lo = df_nufft2_real(x_new, c_re, c_im, (h_hi, h_lo), mtot,
                             slab=slab)
     return hi + lo
@@ -187,10 +300,14 @@ def _predict_high_jit(x_new, beta, ws_hi, ws_lo, h_hi, h_lo, *, mtot: int,
 
 def predict_mean_high(hs: HighState, x_new, *, slab: int = 2048):
     """Posterior mean via the df64 type-2 (reference predict mean apply,
-    efgpnd.py:918-922, at f64-oracle accuracy)."""
+    efgpnd.py:918-922, at f64-oracle accuracy).  Uses the df64 beta low
+    word when the matrix-free fit produced one."""
     x_new = jnp.asarray(x_new)
     if x_new.ndim == 1:
         x_new = x_new[:, None]
     st = hs.state
-    return _predict_high_jit(x_new, st.beta, jnp.real(st.ws), hs.ws_lo,
-                             st.h, hs.h_lo, mtot=st.mtot, d=st.d, slab=slab)
+    beta_lo = (hs.beta_lo if hs.beta_lo is not None
+               else jnp.zeros_like(st.beta))
+    return _predict_high_jit(x_new, st.beta, beta_lo, jnp.real(st.ws),
+                             hs.ws_lo, st.h, hs.h_lo, mtot=st.mtot,
+                             d=st.d, slab=slab)

@@ -30,6 +30,7 @@ __all__ = [
     "two_sum", "quick_two_sum", "split", "two_prod",
     "df_add", "df_sub", "df_mul", "df_mul_f", "df_neg", "df_from",
     "df_sum_tree", "df_sincos_2pi",
+    "cdf_add", "cdf_sub", "cdf_mul", "cdf_from",
 ]
 
 DF = Tuple[jnp.ndarray, jnp.ndarray]
@@ -138,6 +139,31 @@ def df_sum_tree(x: DF, axis: int = 0) -> DF:
         hi, lo = s, e
         n = half
     return hi[0], lo[0]
+
+
+# ---------------------------------------------------------------------------
+# complex df64: a (re, im) pair of real df64 pairs
+# ---------------------------------------------------------------------------
+
+CDF = Tuple[DF, DF]
+
+
+def cdf_from(re, im) -> CDF:
+    return df_from(re), df_from(im)
+
+
+def cdf_add(x: CDF, y: CDF) -> CDF:
+    return df_add(x[0], y[0]), df_add(x[1], y[1])
+
+
+def cdf_sub(x: CDF, y: CDF) -> CDF:
+    return df_sub(x[0], y[0]), df_sub(x[1], y[1])
+
+
+def cdf_mul(x: CDF, y: CDF) -> CDF:
+    re = df_sub(df_mul(x[0], y[0]), df_mul(x[1], y[1]))
+    im = df_add(df_mul(x[0], y[1]), df_mul(x[1], y[0]))
+    return re, im
 
 
 # ---------------------------------------------------------------------------
