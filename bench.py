@@ -22,6 +22,281 @@ import time
 import numpy as np
 
 
+def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
+                            chunk=10_000, tol=1e-12, maxiter=4000):
+    """Host f64 oracle for grids where the dense F/A no longer fit
+    (d = 2 or 3): Toeplitz lag table by chunked phase matmuls, Jacobi-CG
+    with FFT matvec to ``tol``, chunked mean evaluation at the targets
+    (same algebra the device solves; cf. reference
+    verify_efgpnd_exact_small.py:19-24)."""
+    n, d = x64.shape
+    m = (mtot - 1) // 2
+    k2 = np.arange(-2 * m, 2 * m + 1)
+    k1 = np.arange(-m, m + 1)
+    L = 4 * m + 1
+    v = np.zeros((L,) * d, complex)
+    rhs_g = np.zeros((mtot,) * d, complex)
+    for lo in range(0, n, chunk):
+        sl = slice(lo, lo + chunk)
+        c = x64[sl].shape[0]
+        Es = [np.exp(-2j * np.pi * np.outer(x64[sl, t] * h, k2))
+              for t in range(d)]
+        Ems = [E[:, m:m + mtot] for E in Es]
+        if d == 2:
+            v += Es[0].T @ Es[1]
+            rhs_g += (y64[sl, None] * Ems[0]).T @ Ems[1]
+        else:
+            W = (Es[0][:, :, None] * Es[1][:, None, :]).reshape(c, L * L)
+            v += (W.T @ Es[2]).reshape(L, L, L)
+            Wm = ((y64[sl, None] * Ems[0])[:, :, None]
+                  * Ems[1][:, None, :]).reshape(c, mtot * mtot)
+            rhs_g += (Wm.T @ Ems[2]).reshape((mtot,) * 3)
+    K = np.stack(np.meshgrid(*([k1] * d), indexing="ij"), -1).reshape(-1, d)
+    xis = (h * K).astype(np.float64)
+    nsq = np.sum(xis * xis, axis=1)
+    S = ((2 * np.pi * ell * ell) ** (d / 2.0) * var
+         * np.exp(-2 * np.pi ** 2 * ell * ell * nsq))
+    ws = np.sqrt(S * h ** d)
+    M = mtot ** d
+    fft_shape = tuple(1 << (L - 1).bit_length() for _ in range(d))
+    vf = np.fft.fftn(v, s=fft_shape)
+    block = tuple([slice(0, mtot)] * d)
+    central = tuple([slice(mtot - 1, 2 * mtot - 1)] * d)
+
+    def toeplitz(z):
+        zb = np.zeros(fft_shape, complex)
+        zb[block] = z.reshape((mtot,) * d)
+        out = np.fft.ifftn(np.fft.fftn(zb) * vf)
+        return out[central].reshape(-1)
+
+    def A(z):
+        return ws * toeplitz(ws * z) + sigmasq * z
+
+    b = ws * rhs_g.reshape(-1)
+    diag = n * ws ** 2 + sigmasq
+    xk = np.zeros(M, complex)
+    r = b.copy()
+    z = r / diag
+    p = z.copy()
+    rz = np.vdot(r, z).real
+    bn = np.linalg.norm(b)
+    iters = 0
+    for it in range(maxiter):
+        Ap = A(p)
+        alpha = rz / np.vdot(p, Ap).real
+        xk += alpha * p
+        r -= alpha * Ap
+        if np.linalg.norm(r) / bn < tol:
+            iters = it + 1
+            break
+        z = r / diag
+        rz_new = np.vdot(r, z).real
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+        iters = it + 1
+    beta = xk
+    means = []
+    for lo in range(0, xt64.shape[0], 500):
+        Ft = np.exp(2j * np.pi * (xt64[lo:lo + 500] @ xis.T))
+        means.append(np.real(Ft @ (ws * beta)))
+    return np.concatenate(means), iters
+
+
+def hard_config(args, rng):
+    """Hard-regime companion config (VERDICT r2 #2): small lengthscale
+    forces mtot=107 (M=11449 > DENSE_SOLVER_MAX_M), so the fit exercises
+    the batched-PCG branch and the matrix-free df64 refinement — the
+    solvers that carry every large-grid workload — on real TPU hardware.
+    Also sweeps the ``gamma * N |w|^2 + sigma^2`` Jacobi family (the
+    reference's preconditioning study, benchmark_cg_preconditioning_
+    realdata.py:40-46, 629 -> 111 iters)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.efgp import (fit_with_grid, predict_mean,
+                                    quadrature_weights, tensor_grid)
+    from gpquad.models.precision import fit_high, predict_mean_high
+    from gpquad.ops.cg import pcg
+    from gpquad.ops.nufft import make_nufft
+    from gpquad.ops.operators import convolution_vector, make_A_mean
+    from gpquad.ops.toeplitz import make_toeplitz, toeplitz_diag_scale
+    from gpquad.quadrature import spectral_grid
+
+    n, d = args.n, 2
+    ell = args.hard_lengthscale
+    sigmasq = 0.01
+    xh = rng.uniform(0, 1, size=(n, d))
+    fh = (np.sin(3 * np.pi * xh[:, 0]) * np.cos(2 * np.pi * xh[:, 1])
+          + 0.5 * np.sin(7 * xh[:, 0] + 5 * xh[:, 1]))
+    yh = fh + 0.1 * rng.normal(size=n)
+    x = jnp.asarray(xh, jnp.float32)
+    y = jnp.asarray(yh, jnp.float32)
+    xnew = jnp.asarray(rng.uniform(0, 1, size=(2000, d)), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
+                                variance=jnp.float32(1.0), dimension=d)
+    _, h, mtot = spectral_grid(kernel, args.eps, 1.0)
+    mtot = int(mtot)
+    out = {"hard_lengthscale": ell, "hard_mtot": mtot,
+           "hard_M": mtot ** d, "hard_solver": "cg"}
+
+    @jax.jit
+    def _reduce(arrays):
+        return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrays)
+
+    def sync(*arrays):
+        return float(_reduce(arrays))
+
+    def f32_path():
+        st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
+                           cg_tol=1e-6, max_cg_iter=2000, solver="cg")
+        return st, predict_mean(st, xnew)
+
+    st, mean = f32_path()
+    sync(mean)                                  # warm / compile
+    t0 = time.time()
+    st, mean = f32_path()
+    sync(mean)
+    out["hard_fit_mean_s"] = round(time.time() - t0, 4)
+    out["hard_cg_iters"] = int(st.mean_cg_iters)
+
+    def high_path():
+        hs = fit_high(x, y, kernel, sigmasq, float(h), mtot,
+                      solver="iterative")
+        return hs, predict_mean_high(hs, xnew)
+
+    hs, mh = high_path()
+    sync(mh)                                    # warm / compile
+    t0 = time.time()
+    hs, mh = high_path()
+    sync(mh)
+    out["hard_high_fit_mean_s"] = round(time.time() - t0, 4)
+    out["hard_high_total_inner_iters"] = int(hs.state.mean_cg_iters)
+
+    # Jacobi family sweep: ONE compiled program, gamma traced
+    @partial(jax.jit, static_argnames=("mtot",))
+    def _setup(x, y, kernel, sigmasq, h, *, mtot):
+        m = (mtot - 1) // 2
+        xis = tensor_grid(jnp.arange(-m, m + 1, dtype=x.dtype) * h, d)
+        ws = quadrature_weights(kernel, xis, h, d)
+        nufft = make_nufft(x, h, mtot)
+        rhs = ws * nufft.type1(y.astype(ws.dtype)).reshape(-1)
+        v = convolution_vector(m, x, h)
+        return ws, rhs, v
+
+    ws_d, rhs_d, v_d = _setup(x, y, kernel, jnp.float32(sigmasq), h,
+                              mtot=mtot)
+
+    @jax.jit
+    def _solve(ws, rhs, v, sigmasq, gamma):
+        toeplitz = make_toeplitz(v)
+        A = make_A_mean(ws, toeplitz, sigmasq)
+        diag = (gamma * toeplitz_diag_scale(v) * jnp.abs(ws) ** 2
+                + sigmasq)
+        res = pcg(A, rhs, tol=1e-6, maxiter=2000,
+                  M_inv=lambda r: r / diag.astype(r.dtype))
+        return res.iters, res.converged
+
+    sweep = {}
+    converged_map = {}
+    for gamma in (0.0, 0.1, 0.3, 1.0, 3.0, 10.0):
+        it, conv = _solve(ws_d, rhs_d, v_d, jnp.float32(sigmasq),
+                          jnp.float32(gamma))
+        sweep[str(gamma)] = int(it)
+        converged_map[str(gamma)] = bool(np.asarray(conv))
+    out["hard_precond_sweep_iters"] = sweep
+    best = min((g for g in sweep if converged_map[g]),
+               key=lambda g: sweep[g], default="1.0")
+    out["hard_precond_best_gamma"] = float(best)
+    out["hard_cg_converged"] = converged_map.get("1.0", False)
+
+    if not args.skip_accuracy:
+        mean64, oracle_iters = _toeplitz_cg_oracle_f64(
+            np.asarray(x, np.float64), np.asarray(y, np.float64), ell,
+            1.0, sigmasq, float(h), mtot, np.asarray(xnew, np.float64))
+        out["hard_max_err_mean_f32_vs_f64"] = round(
+            float(np.max(np.abs(np.asarray(mean, np.float64) - mean64))), 8)
+        out["hard_max_err_mean_vs_f64"] = round(
+            float(np.max(np.abs(np.asarray(mh, np.float64) - mean64))), 9)
+        out["hard_oracle_cg_iters"] = oracle_iters
+    return out
+
+
+def hard3d_config(args, rng):
+    """d=3 companion of the hard config (VERDICT r2 #1 'one d=3 case'):
+    mtot=21 -> M=9261 > DENSE_SOLVER_MAX_M, so both the f32 CG branch and
+    the matrix-free df64 refinement run on a grid where no dense path
+    exists; accuracy vs the host f64 Toeplitz-CG oracle."""
+    import jax.numpy as jnp
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.efgp import fit_with_grid, predict_mean
+    from gpquad.models.precision import fit_high, predict_mean_high
+    from gpquad.quadrature import spectral_grid
+    import jax
+
+    n, d = args.hard3d_n, 3
+    ell = args.hard3d_lengthscale
+    sigmasq = 0.01
+    xh = rng.uniform(0, 1, size=(n, d))
+    fh = (np.sin(3 * np.pi * xh[:, 0]) * np.cos(2 * np.pi * xh[:, 1])
+          * np.cos(np.pi * xh[:, 2]))
+    yh = fh + 0.1 * rng.normal(size=n)
+    x = jnp.asarray(xh, jnp.float32)
+    y = jnp.asarray(yh, jnp.float32)
+    xnew = jnp.asarray(rng.uniform(0, 1, size=(1000, d)), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
+                                variance=jnp.float32(1.0), dimension=d)
+    _, h, mtot = spectral_grid(kernel, args.eps, 1.0)
+    mtot = int(mtot)
+    out = {"hard3d_lengthscale": ell, "hard3d_n": n, "hard3d_mtot": mtot,
+           "hard3d_M": mtot ** d}
+
+    @jax.jit
+    def _reduce(arrays):
+        return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrays)
+
+    def sync(*arrays):
+        return float(_reduce(arrays))
+
+    def f32_path():
+        st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
+                           cg_tol=1e-6, max_cg_iter=2000, solver="cg")
+        return st, predict_mean(st, xnew)
+
+    st, mean = f32_path()
+    sync(mean)
+    t0 = time.time()
+    st, mean = f32_path()
+    sync(mean)
+    out["hard3d_fit_mean_s"] = round(time.time() - t0, 4)
+    out["hard3d_cg_iters"] = int(st.mean_cg_iters)
+
+    def high_path():
+        hs = fit_high(x, y, kernel, sigmasq, float(h), mtot,
+                      solver="iterative")
+        return hs, predict_mean_high(hs, xnew, slab=256)
+
+    hs, mh = high_path()
+    sync(mh)
+    t0 = time.time()
+    hs, mh = high_path()
+    sync(mh)
+    out["hard3d_high_fit_mean_s"] = round(time.time() - t0, 4)
+
+    if not args.skip_accuracy:
+        mean64, oracle_iters = _toeplitz_cg_oracle_f64(
+            np.asarray(x, np.float64), np.asarray(y, np.float64), ell,
+            1.0, sigmasq, float(h), mtot, np.asarray(xnew, np.float64),
+            chunk=4000)
+        out["hard3d_max_err_mean_f32_vs_f64"] = round(
+            float(np.max(np.abs(np.asarray(mean, np.float64) - mean64))), 8)
+        out["hard3d_max_err_mean_vs_f64"] = round(
+            float(np.max(np.abs(np.asarray(mh, np.float64) - mean64))), 9)
+        out["hard3d_oracle_cg_iters"] = oracle_iters
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -33,6 +308,15 @@ def main():
     ap.add_argument("--lengthscale", type=float, default=0.1)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-accuracy", action="store_true")
+    ap.add_argument("--skip-hard", action="store_true",
+                    help="Skip the hard-regime (forced-CG) companion config")
+    ap.add_argument("--hard-lengthscale", type=float, default=0.02,
+                    help="Hard-config lengthscale (0.02 -> mtot=107, "
+                         "M=11449 > DENSE_SOLVER_MAX_M, CG branch)")
+    ap.add_argument("--hard3d-n", type=int, default=20_000)
+    ap.add_argument("--hard3d-lengthscale", type=float, default=0.2,
+                    help="d=3 hard-config lengthscale (0.2 -> mtot=21, "
+                         "M=9261, forced matrix-free)")
     ap.add_argument("--nufft-method", default="mxu",
                     choices=["mxu", "pallas", "banded"],
                     help="NUFFT backend for the fused pass (banded wins at "
@@ -136,17 +420,28 @@ def main():
     sync(mh_sep)
     t_high = time.time() - t0
 
+    # explicit host-generated probes so the f64 oracles replicate the
+    # estimators probe-for-probe (pure arithmetic error, no Hutchinson
+    # variance in the comparison)
+    M = int(mtot) ** d
+    Zp = (rng.integers(0, 2, (args.trace_samples, n)) * 2 - 1
+          ).astype(np.float32)
+    Vp = (rng.integers(0, 2, (args.trace_samples, M)) * 2 - 1
+          ).astype(np.float32)
+    etas = (rng.integers(0, 2, (args.probes, M)) * 2 - 1).astype(np.float32)
+
     t_fit, state = timed(fit_with_grid, x, y, kernel, sigmasq, h, mtot,
                          cg_tol=1e-6, max_cg_iter=1000)
     t_mean, mean = timed(predict_mean, state, xnew)
     t_var, var = timed(predict_var, state, xnew, method="stochastic",
                        key=key, probes=args.probes, cg_tol=1e-4,
-                       max_cg_iter=400)
+                       max_cg_iter=400, etas=jnp.asarray(etas))
     t_var_cheb, vc = timed(predict_var, state, xnew, method="chebyshev",
                            chebyshev_nodes=20, cg_tol=1e-5, max_cg_iter=600)
     t_grad, gres = timed(gradient_with_grid, x, y, kernel, sigmasq, h, key,
                          mtot=mtot, trace_samples=args.trace_samples,
-                         cg_tol=1e-4, max_cg_iter=1000)
+                         cg_tol=1e-4, max_cg_iter=1000,
+                         probes=(jnp.asarray(Zp), jnp.asarray(Vp)))
 
     # headline = the single fused program: f32 pass (mean+var+grad) PLUS
     # the high-precision refit+mean delivering the eps=1e-6 oracle
@@ -182,24 +477,14 @@ def main():
         # point/target arrays (exact in f64), not the pre-rounding host
         # values — otherwise the two solvers solve different problems at
         # the ~3e-6 phase level.
-        xs = np.asarray(x, np.float64)
-        ys = np.asarray(y, np.float64)
-        M = mtot ** d
-        m = (mtot - 1) // 2
-        k1 = np.arange(-m, m + 1)
-        K = np.stack(np.meshgrid(k1, k1, indexing="ij"), -1).reshape(-1, d)
-        F = np.exp(2j * np.pi * (xs @ (h * K.T)))
-        xis = (h * K).astype(np.float64)
-        l2 = args.lengthscale**2
-        S = (2 * np.pi * l2) * np.exp(
-            -2 * np.pi**2 * l2 * np.sum(xis**2, axis=1))
-        ws = np.sqrt(S * h**d)
-        A = (ws[:, None] * (F.conj().T @ F) * ws[None, :]
-             + sigmasq * np.eye(M))
-        beta64 = np.linalg.solve(A, ws * (F.conj().T @ ys))
+        from gpquad.utils.f64_oracles import (efgp_f64_objects, gradient_f64,
+                                              stochastic_var_f64)
+        obj = efgp_f64_objects(np.asarray(x), np.asarray(y),
+                               args.lengthscale, 1.0, sigmasq, float(h),
+                               int(mtot))
         xt = np.asarray(xnew[:2000], dtype=np.float64)
-        Ft = np.exp(2j * np.pi * (xt @ (h * K.T)))
-        mean64 = np.real(Ft @ (ws * beta64))
+        Ft = np.exp(2j * np.pi * (xt @ obj["xis"].T))
+        mean64 = np.real(Ft @ (obj["ws"] * obj["beta_raw"]))
         mean32 = np.asarray(mean)[:2000]
         out_json["max_err_mean_f32_vs_dense_f64"] = round(
             float(np.max(np.abs(mean32 - mean64))), 8)
@@ -207,10 +492,25 @@ def main():
         out_json["max_err_mean_vs_dense_f64"] = round(
             float(np.max(np.abs(mh - mean64))), 9)
         # variance accuracy vs dense (chebyshev vs f64 'regular' formula)
+        A = obj["A"]
+        ws = obj["ws"]
         G64 = np.linalg.solve(A / sigmasq, (ws * Ft[:500].conj()).T).T
         var64 = np.maximum(np.real(np.sum(Ft[:500] * (ws * G64), -1)), 0)
         out_json["max_err_var_cheb_vs_dense_f64"] = round(
             float(np.max(np.abs(np.asarray(vc)[:500] - var64))), 8)
+        # same-probe f64 replicas: gradient + stochastic variance
+        # (closing the accuracy loop beyond the mean, VERDICT r2 #3)
+        grad64 = gradient_f64(obj, Zp, Vp)
+        grad32 = np.asarray(gres.grad, np.float64)
+        out_json["max_rel_err_grad_vs_dense_f64"] = round(float(np.max(
+            np.abs(grad32 - grad64) / np.maximum(np.abs(grad64), 1e-10))), 8)
+        var_st64 = stochastic_var_f64(obj, etas, xt[:500])
+        out_json["max_err_var_stoch_vs_dense_f64"] = round(
+            float(np.max(np.abs(np.asarray(var)[:500] - var_st64))), 8)
+
+    if not args.skip_hard:
+        out_json.update(hard_config(args, rng))
+        out_json.update(hard3d_config(args, rng))
 
     print(json.dumps(out_json))
 

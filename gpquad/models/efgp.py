@@ -306,18 +306,26 @@ def _variance_regular(state: FitState, x_new, *, cg_tol, max_cg_iter,
                                    "nufft_method"))
 def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
                          cg_tol, max_cg_iter,
-                         nufft_method: str = "mxu") -> jnp.ndarray:
+                         nufft_method: str = "mxu",
+                         etas=None) -> jnp.ndarray:
     """Hutchinson diag-sums variance (reference diag_sums_nd +
     nufft_var_est_nd, efgpnd.py:1634-1679).
 
     Solve A_var u_j = D eta_j for J Rademacher probes, cross-correlate
     gamma = D u with eta on the (2*mtot-1)^d zero-padded FFT grid, then
     evaluate the lag sums at targets with one FFT-ordered type-2 apply.
+    ``etas`` (optional, (probes, M) Rademacher) makes same-probe dense
+    f64 oracle comparisons exact rather than seed-matched (the same
+    parity hook the gradient estimator exposes, gradient.py:171-178).
     """
     mtot, d = state.mtot, state.d
     M = mtot ** d
     rdtype = state.h.dtype
-    etas = (jax.random.bernoulli(key, 0.5, (probes, M)) * 2 - 1).astype(rdtype)
+    if etas is None:
+        etas = (jax.random.bernoulli(key, 0.5, (probes, M)) * 2 - 1
+                ).astype(rdtype)
+    else:
+        etas = etas.astype(rdtype)
     rhs = state.ws[None, :] * etas
     res = _solve_var(state, rhs, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     gammas = state.ws[None, :] * res.x
@@ -378,7 +386,7 @@ def predict_var(state: FitState, x_new, *, method: str = "stochastic",
                 key=None, probes: int = 1000, cg_tol: float = 1e-4,
                 max_cg_iter: int = 1000, microbatch: int = 8192,
                 chebyshev_nodes: int = 20,
-                nufft_method: str = "mxu") -> jnp.ndarray:
+                nufft_method: str = "mxu", etas=None) -> jnp.ndarray:
     """Posterior variance dispatch (reference compute_prediction_variance,
     efgpnd.py:1761-1841, plus the Chebyshev mode generalized from the PG
     module)."""
@@ -394,7 +402,7 @@ def predict_var(state: FitState, x_new, *, method: str = "stochastic",
             key = jax.random.PRNGKey(0)
         return _variance_stochastic(state, x_new, key, probes=probes,
                                     cg_tol=cg_tol, max_cg_iter=max_cg_iter,
-                                    nufft_method=nufft_method)
+                                    nufft_method=nufft_method, etas=etas)
     if method == "chebyshev":
         return _variance_chebyshev(state, x_new,
                                    n_nodes_per_dim=chebyshev_nodes,

@@ -160,23 +160,27 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     return state, res / bn
 
 
-@partial(jax.jit, static_argnames=("mtot", "passes", "chunk", "cg_tol",
-                                   "max_cg_iter", "ir_tol", "ir_maxiter"))
+@partial(jax.jit, static_argnames=("mtot", "passes", "chunk",
+                                   "ir_tol", "ir_maxiter"))
 def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
                         mtot: int, passes: int, chunk: int,
-                        cg_tol: float, max_cg_iter: int,
                         ir_tol: float, ir_maxiter: int):
     """Matrix-free high-precision fit for grids past the dense-solver
-    window: f32 Jacobi-PCG solves (ops/cg.py) refined against df64
-    residuals from the df64 Toeplitz matvec (ops/toeplitz_df.py).
+    window: f32 Jacobi-PCG correction solves (ops/cg.py) driven by df64
+    TRUE residuals from the df64 Toeplitz matvec (ops/toeplitz_df.py).
 
-    Error chain: the inner f32 CG stalls near its ~1e-7 relative-residual
-    representation floor; each refinement pass recomputes the TRUE residual
-    in df64 (~1e-13 matvec accuracy) and solves the correction system to a
-    loose ``ir_tol``, contracting the true residual by ~ir_tol per pass —
-    two passes reach the ~1e-9 residual the 1e-6 mean-agreement target
-    needs (matching the reference's universal f64 discipline,
-    verify_efgpnd_exact_small.py:19-24, on f32-only hardware).
+    Error chain: starting from beta = 0, each pass computes the true
+    residual in df64 (~1e-13 matvec accuracy) and solves the correction
+    system with f32 CG to the loose ``ir_tol``; the true residual
+    contracts by ~ir_tol per pass (it is exactly the inner solve's
+    relative residual, re-measured in df64), so ``passes=5`` at
+    ``ir_tol=1e-2`` reaches the ~1e-9 floor the 1e-6 mean-agreement
+    target needs — the reference's universal-f64 discipline
+    (verify_efgpnd_exact_small.py:19-24) on f32-only hardware.
+
+    The refinement loop is a ``lax.scan`` so XLA compiles ONE copy of the
+    df64 matvec + inner CG (an unrolled loop quintuples the ~10k-op df64
+    FFT graph and pushes remote compile past 9 minutes at mtot=107).
     """
     n, d = x.shape
     m = (mtot - 1) // 2
@@ -212,28 +216,29 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
         a_im = df_add(df_mul(ws_df, t_im), df_mul(sig_df, beta_im))
         return a_re, a_im
 
-    b_c = lax.complex(b_re[0] + b_re[1], b_im[0] + b_im[1])
-    res0 = pcg(A_mean, b_c, tol=cg_tol, maxiter=max_cg_iter, M_inv=M_inv)
-    beta_re = (jnp.real(res0.x), jnp.zeros_like(ws_hi))
-    beta_im = (jnp.imag(res0.x), jnp.zeros_like(ws_hi))
-    iters = res0.iters
-    for _ in range(passes):
+    bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
+    zero = jnp.zeros_like(ws_hi)
+
+    def body(carry, _):
+        beta_re, beta_im, iters = carry
         a_re, a_im = A_df(beta_re, beta_im)
         rr = df_sub(b_re, a_re)
         ri = df_sub(b_im, a_im)
+        resnorm = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2
+                                   + (ri[0] + ri[1]) ** 2))
         r32 = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
-        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter, M_inv=M_inv)
-        beta_re = df_add(beta_re, (jnp.real(corr.x),
-                                   jnp.zeros_like(ws_hi)))
-        beta_im = df_add(beta_im, (jnp.imag(corr.x),
-                                   jnp.zeros_like(ws_hi)))
-        iters = iters + corr.iters
+        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter,
+                   M_inv=M_inv)
+        beta_re = df_add(beta_re, (jnp.real(corr.x), zero))
+        beta_im = df_add(beta_im, (jnp.imag(corr.x), zero))
+        return (beta_re, beta_im, iters + corr.iters), resnorm
 
-    a_re, a_im = A_df(beta_re, beta_im)
-    rr = df_sub(b_re, a_re)
-    ri = df_sub(b_im, a_im)
-    res = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2 + (ri[0] + ri[1]) ** 2))
-    bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
+    carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32))
+    (beta_re, beta_im, iters), resnorms = lax.scan(
+        body, carry0, None, length=passes)
+    # resnorms[k] is the TRUE df64 residual BEFORE the k-th correction;
+    # the last entry certifies the pass before the final correction
+    res = resnorms[-1]
 
     beta = lax.complex(beta_re[0], beta_im[0])
     beta_lo = lax.complex(beta_re[1], beta_im[1])
@@ -246,9 +251,8 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
 
 def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
              chunk: int = 64, solver: str = "auto",
-             cg_tol: float = 1e-6, max_cg_iter: int = 2000,
-             ir_passes: int = 3, ir_tol: float = 1e-2,
-             ir_maxiter: int = 400) -> HighState:
+             ir_passes: int = 5, ir_tol: float = 1e-2,
+             ir_maxiter: int = 600) -> HighState:
     """High-precision fit.  ``h``, ``sigmasq`` and the kernel hypers must
     be concrete (host f64 planning values), not jit tracers.
 
@@ -282,8 +286,8 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
         return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo)
     state, beta_lo, _ = _fit_high_iter_core(
         x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
-        mtot=mtot, passes=ir_passes, chunk=chunk, cg_tol=cg_tol,
-        max_cg_iter=max_cg_iter, ir_tol=ir_tol, ir_maxiter=ir_maxiter)
+        mtot=mtot, passes=ir_passes, chunk=chunk, ir_tol=ir_tol,
+        ir_maxiter=ir_maxiter)
     return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo, beta_lo=beta_lo)
 
 

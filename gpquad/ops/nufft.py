@@ -204,7 +204,7 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
 
     ``method="pallas"`` (d in {1, 2, 3}, both mode orderings) selects the
     fused Pallas kernels, which never materialize phase matrices in HBM
-    (d=3 is VMEM-bounded at mtot <= 56 per dim).
+    (d=3 mode-tiles its first dim past mtot = 56, up to mtot <= 256).
     ``method="spread"`` (d=2, symmetric ordering) selects the classical
     scatter/gather ES-kernel spreading backend (no cap planning needed);
     ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free

@@ -35,22 +35,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.toeplitz import ToeplitzND
 
-__all__ = ["msharded_toeplitz_matvec", "shard_toeplitz_kernel"]
+__all__ = ["msharded_toeplitz_matvec", "shard_toeplitz_kernel",
+           "make_msharded_A_mean", "msharded_fit"]
 
 
 def _pencil_conv2d(xp, kf, *, axis_name: str):
     """Circular 2-D convolution of one padded slab with the kernel
     spectrum slab.  xp: (B, P1/k, P2) local; kf: (P1, P2/k) local."""
-    a = jnp.fft.fft(xp, axis=-1)
+    # Layout note: XLA:CPU's fft thunk requires dim0-major operands, but
+    # inside a fused while_loop body the planner hands FFTs transposed
+    # layouts and RET_CHECKs.  Keep every FFT on the LAST axis and flatten
+    # the operand to 2-D first — the reshape across the transposed dims
+    # forces a physical copy into the canonical layout (free where the
+    # layout was already canonical; a transpose that had to happen anyway
+    # otherwise).  TPU is layout-agnostic here; this is for the CPU test
+    # and dryrun backends.
+    def fft_last(a, inverse=False):
+        shape = a.shape
+        flat = a.reshape(-1, shape[-1])
+        out = jnp.fft.ifft(flat, axis=-1) if inverse \
+            else jnp.fft.fft(flat, axis=-1)
+        return out.reshape(shape)
+
+    a = fft_last(xp)
     # (B, P1/k, P2) -> (B, P1, P2/k)
     a = jax.lax.all_to_all(a, axis_name, split_axis=2, concat_axis=1,
                            tiled=True)
-    a = jnp.fft.fft(a, axis=-2)
-    a = a * kf[None, :, :]
-    a = jnp.fft.ifft(a, axis=-2)
+    a = jnp.swapaxes(a, -1, -2)
+    a = fft_last(a)
+    a = a * jnp.swapaxes(kf, -1, -2)[None, :, :]
+    a = fft_last(a, inverse=True)
+    a = jnp.swapaxes(a, -1, -2)
     a = jax.lax.all_to_all(a, axis_name, split_axis=1, concat_axis=2,
                            tiled=True)
-    return jnp.fft.ifft(a, axis=-1)
+    return fft_last(a, inverse=True)
 
 
 def shard_toeplitz_kernel(toeplitz: ToeplitzND, mesh: Mesh,
@@ -109,3 +127,110 @@ def msharded_toeplitz_matvec(toeplitz: ToeplitzND, x, mesh: Mesh,
     y = run(xb, kf)
     return (y.reshape(batch + (toeplitz.size,)) if flat
             else y.reshape(batch + (n1, n2)))
+
+
+def make_msharded_A_mean(ws, toeplitz: ToeplitzND, sigmasq, mesh: Mesh,
+                         axis: str = "dp"):
+    """Mean-solve operator ``A beta = D T D beta + sigma^2 beta`` whose
+    Gram matvec runs the pencil-transpose sharded FFT — traceable inside
+    ``jit``/``lax.while_loop``, so the batched PCG (ops/cg.py) can drive
+    it directly.  This is what upgrades the standalone matvec into an
+    end-to-end large-grid solve (VERDICT r2 #4).
+
+    The kernel spectrum is column-slab-sharded with a sharding constraint
+    (per-device operator state = P1*P2/k), and every CG iterate's padded
+    grid lives sharded inside the shard_map region.
+    """
+    if toeplitz.d != 2:
+        raise NotImplementedError("M-sharded A_mean requires d == 2")
+    n1, n2 = toeplitz.ns
+    P1, P2 = toeplitz.fft_shape
+    k = mesh.shape[axis]
+    if P1 % k or P2 % k:
+        raise ValueError(
+            f"fft_shape {toeplitz.fft_shape} not divisible by mesh axis "
+            f"'{axis}' of size {k}")
+    cdtype = toeplitz.fft_kernel.dtype
+    kf = jax.lax.with_sharding_constraint(
+        toeplitz.fft_kernel, NamedSharding(mesh, P(None, axis)))
+    conv = shard_map(partial(_pencil_conv2d, axis_name=axis), mesh=mesh,
+                     in_specs=(P(None, axis, None), P(None, axis)),
+                     out_specs=P(None, axis, None))
+
+    def A_mean(beta):
+        beta = beta.astype(cdtype)
+        u = ws * beta
+        batch = u.shape[:-1]
+        xb = u.reshape((-1, n1, n2))
+        xp = jnp.zeros((xb.shape[0], P1, P2), cdtype)
+        xp = xp.at[:, :n1, :n2].set(xb)
+        y = conv(xp, kf)
+        t = y[:, n1 - 1:2 * n1 - 1, n2 - 1:2 * n2 - 1]
+        t = t.reshape(batch + (toeplitz.size,))
+        return ws * t + sigmasq * beta
+
+    return A_mean
+
+
+def msharded_fit(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
+                 axis: str = "dp", cg_tol: float = 1e-4,
+                 max_cg_iter=None, use_precond: bool = True):
+    """End-to-end EFGP fit with the frequency grid sharded (pencil FFT).
+
+    Point-space work (NUFFT rhs, lag table) runs data-parallel via GSPMD
+    from the input shardings exactly like ``sharded_fit``; the mean-solve
+    CG then iterates against :func:`make_msharded_A_mean`, so per-device
+    frequency memory is O(P1 * P2 / k) instead of the replicated
+    O(P1 * P2) wall (gpquad/parallel/sharding.py:14-21).  Numerically
+    equal to the single-device ``fit_with_grid(..., solver='cg')`` up to
+    reduction order.  d=2 only (the pencil decomposition's home turf).
+    """
+    from functools import partial as _partial
+
+    from ..models.efgp import FitState, quadrature_weights, tensor_grid
+    from ..ops.cg import pcg
+    from ..ops.nufft import make_nufft
+    from ..ops.operators import convolution_vector, make_jacobi_precond
+    from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
+    from .sharding import shard_points
+
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.shape[1] != 2:
+        raise NotImplementedError("msharded_fit requires d == 2")
+    xs = shard_points(x, mesh, axis)
+    ys = shard_points(jnp.asarray(y), mesh, axis)
+
+    @_partial(jax.jit, static_argnames=("mtot", "cg_tol", "max_cg_iter",
+                                        "use_precond"))
+    def _run(x, y, kernel, sigmasq, h, *, mtot, cg_tol, max_cg_iter,
+             use_precond):
+        rdtype = x.dtype
+        cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+        h = jnp.asarray(h, rdtype)
+        sigmasq = jnp.asarray(sigmasq, rdtype)
+        kernel_c = kernel.with_hypers(kernel.hyper_vector().astype(rdtype))
+        m = (mtot - 1) // 2
+        d = 2
+        xis = tensor_grid(jnp.arange(-m, m + 1, dtype=rdtype) * h, d)
+        ws = quadrature_weights(kernel_c, xis, h, d)
+        nufft = make_nufft(x, h, mtot, cdtype=cdtype)
+        rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
+        v = convolution_vector(m, x, h)
+        toeplitz = make_toeplitz(v)
+        A = make_msharded_A_mean(ws, toeplitz, sigmasq, mesh, axis)
+        M_inv = None
+        if use_precond:
+            M_inv = make_jacobi_precond(ws, sigmasq,
+                                        diag_scale=toeplitz_diag_scale(v))
+        res = pcg(A, rhs, tol=cg_tol,
+                  maxiter=max_cg_iter if max_cg_iter is not None
+                  else 2 * rhs.shape[0], M_inv=M_inv)
+        return FitState(beta=res.x, ws=ws, h=h, sigmasq=sigmasq,
+                        toeplitz=toeplitz, mean_cg_iters=res.iters,
+                        diag_scale=toeplitz_diag_scale(v), mtot=mtot, d=d)
+
+    with mesh:
+        return _run(xs, ys, kernel, sigmasq, h, mtot=mtot, cg_tol=cg_tol,
+                    max_cg_iter=max_cg_iter, use_precond=use_precond)

@@ -164,3 +164,37 @@ def test_msharded_toeplitz_validates():
     mesh = make_mesh(8)
     with pytest.raises(NotImplementedError):
         msharded_toeplitz_matvec(T1, jnp.zeros(15, jnp.complex128), mesh)
+
+
+def test_msharded_fit_matches_single_device():
+    """END-TO-END M-sharded solve (VERDICT r2 #4): msharded_fit runs the
+    mean-solve PCG against the pencil-FFT sharded operator and must equal
+    the single-device CG fit; the operator's spectrum lives as one
+    (P1, P2/8) slab per device."""
+    from gpquad.models.efgp import fit_with_grid, predict_mean
+    from gpquad.parallel import msharded_fit
+    rng = np.random.default_rng(7)
+    n, mtot, h, sigmasq = 4000, 65, 0.03, 0.05   # pad 129 -> 256: /8 ok
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 2)))
+    y = jnp.asarray(rng.normal(size=n))
+    kernel = SquaredExponential(lengthscale=0.05, variance=1.0, dimension=2)
+    ref = fit_with_grid(x, y, kernel, sigmasq, jnp.asarray(h), mtot,
+                        cg_tol=1e-8, solver="cg")
+    mesh = make_mesh(8)
+    st = msharded_fit(x, y, kernel, sigmasq, h, mtot, mesh, cg_tol=1e-8)
+    assert np.allclose(np.asarray(st.beta), np.asarray(ref.beta),
+                       rtol=1e-6, atol=1e-9)
+    assert int(st.mean_cg_iters) > 0
+    # downstream prediction works off the sharded-fit state unchanged
+    xt = jnp.asarray(rng.uniform(0.1, 0.9, size=(50, 2)))
+    assert np.allclose(np.asarray(predict_mean(st, xt)),
+                       np.asarray(predict_mean(ref, xt)), atol=1e-7)
+
+
+def test_msharded_fit_rejects_other_dims():
+    from gpquad.parallel import msharded_fit
+    mesh = make_mesh(8)
+    kernel = SquaredExponential(lengthscale=0.1, variance=1.0, dimension=1)
+    with pytest.raises(NotImplementedError):
+        msharded_fit(jnp.zeros((8, 1)), jnp.zeros(8), kernel, 0.1, 0.3,
+                     9, mesh)
