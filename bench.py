@@ -288,7 +288,7 @@ def hard3d_config(args, rng):
         mean64, oracle_iters = _toeplitz_cg_oracle_f64(
             np.asarray(x, np.float64), np.asarray(y, np.float64), ell,
             1.0, sigmasq, float(h), mtot, np.asarray(xnew, np.float64),
-            chunk=4000)
+            chunk=4000, maxiter=12000)
         out["hard3d_max_err_mean_f32_vs_f64"] = round(
             float(np.max(np.abs(np.asarray(mean, np.float64) - mean64))), 8)
         out["hard3d_max_err_mean_vs_f64"] = round(
@@ -502,8 +502,14 @@ def main():
         # (closing the accuracy loop beyond the mean, VERDICT r2 #3)
         grad64 = gradient_f64(obj, Zp, Vp)
         grad32 = np.asarray(gres.grad, np.float64)
-        out_json["max_rel_err_grad_vs_dense_f64"] = round(float(np.max(
-            np.abs(grad32 - grad64) / np.maximum(np.abs(grad64), 1e-10))), 8)
+        rel_components = (np.abs(grad32 - grad64)
+                          / np.maximum(np.abs(grad64), 1e-10))
+        out_json["max_rel_err_grad_vs_dense_f64"] = round(
+            float(np.max(rel_components)), 8)
+        out_json["rel_err_grad_components"] = [
+            round(float(v), 8) for v in rel_components]
+        out_json["grad_f64_components"] = [
+            round(float(v), 6) for v in grad64]
         var_st64 = stochastic_var_f64(obj, etas, xt[:500])
         out_json["max_err_var_stoch_vs_dense_f64"] = round(
             float(np.max(np.abs(np.asarray(var)[:500] - var_st64))), 8)

@@ -28,7 +28,8 @@ from sklearn.base import BaseEstimator, ClassifierMixin, RegressorMixin
 from sklearn.utils.validation import check_array, check_is_fitted, check_X_y
 
 from ..kernels import SquaredExponential
-from ..quadrature import bucket_mtot, flat_grid_mask, grid_geometry_jit
+from ..quadrature import (bucket_mtot, bucket_points, flat_grid_mask,
+                          grid_geometry_jit)
 from . import pg_core as core
 
 __all__ = ["PolyagammaGPClassifier", "PolyagammaGPNegativeBinomialRegressor"]
@@ -216,13 +217,45 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self._X_train_np_ = X_arr.copy()
         X_t = jnp.asarray(X_arr, rd)
         y_t = jnp.asarray(y_model, rd)
+
+        # n-bucketing: pad the point count to a 1-2-5 rung so the fused
+        # outer step compiles once per rung, not once per dataset size
+        # (the cold-start fix; padded points carry exactly-zero
+        # delta/kappa/probes so every operator is algebraically unchanged)
+        n_valid = X_t.shape[0]
+        n_buck = bucket_points(n_valid)
+        self._n_valid_ = n_valid
+        if n_buck != n_valid:
+            pad = jnp.broadcast_to(jnp.mean(X_t, axis=0),
+                                   (n_buck - n_valid, X_t.shape[1]))
+            X_t = jnp.concatenate([X_t, pad], axis=0)
+        m_mask = (jnp.arange(n_buck) < n_valid).astype(rd)
+
+        def _padded_kappa_pgb(likelihood):
+            kappa = likelihood.kappa(y_t)
+            pg_b = likelihood.pg_b(y_t)
+            if n_buck != n_valid:
+                z = jnp.zeros((n_buck - n_valid,), rd)
+                kappa = jnp.concatenate([kappa, z])
+                pg_b = jnp.concatenate([pg_b, z])
+            return kappa, pg_b
+
+        kp_cache: Dict = {}
+
+        def _kappa_pgb(likelihood):
+            ck = (type(likelihood).__name__,
+                  getattr(likelihood, "total_count", None))
+            if ck not in kp_cache:
+                kp_cache[ck] = _padded_kappa_pgb(likelihood)
+            return kp_cache[ck]
+
         self._X_train_t_ = X_t
         self._initialize_likelihood_state(y_t)
         likelihood = self._make_likelihood()
 
         if not (self.warm_start and hasattr(self, "_delta_t_")
                 and self._delta_t_.shape[0] == X_t.shape[0]):
-            self._delta_t_ = 0.25 * likelihood.pg_b(y_t)
+            self._delta_t_ = 0.25 * _kappa_pgb(likelihood)[1]
             self._lengthscale_v_ = float(self.lengthscale_init)
             self._variance_v_ = float(self.variance_init)
 
@@ -237,14 +270,15 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         ores = None
         for outer in range(self.max_iter):
             likelihood = self._make_likelihood()
-            kappa = likelihood.kappa(y_t)
-            pg_b = likelihood.pg_b(y_t)
+            kappa, pg_b = _kappa_pgb(likelihood)
             pos = np.exp(np.asarray(raw))
             kern, h, mtot, mask = self._plan_grid(X_t, float(pos[0]),
                                                   float(pos[1]))
             if e_probes is None or not self.reuse_e_probes:
                 e_probes = self._rademacher(self._key(17 * (outer + 1)),
                                             (self.n_e_probes, X_t.shape[0]))
+                if n_buck != n_valid:
+                    e_probes = e_probes * m_mask[None, :]
             # one dispatch per outer iteration: spectral build + E-step +
             # M-step + Adam ascent in a single compiled program
             # (reference pg_classifier.py:1286-1337)
@@ -253,7 +287,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                 self._key(10_000 + outer), raw, opt_state, mtot=mtot,
                 e_iters=self.e_step_iters, n_m_probes=self.n_m_probes,
                 rho0=self.rho0, gamma=self.gamma, e_tol=self.e_step_tol,
-                cg_tol=self.cg_tol, lr=self.lr)
+                cg_tol=self.cg_tol, lr=self.lr, m_mask=m_mask)
             self._delta_t_ = ores.delta
             self._last_mean_, self._last_sigma_diag_ = ores.mean, \
                 ores.sigma_diag
@@ -278,7 +312,8 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         for rec in jax.device_get(pending):
             likelihood_key = rec.pop("history_key")
             aux = rec.pop("aux")
-            mean_h, sig_h = rec.pop("mean"), rec.pop("sigma_diag")
+            mean_h = rec.pop("mean")[:n_valid]
+            sig_h = rec.pop("sigma_diag")[:n_valid]
             pos = np.exp(rec.pop("raw"))
             entry = {
                 "iter": rec["iter"],
@@ -303,13 +338,14 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         # final spectral state + E-step + beta-mean solve
         # (reference pg_classifier.py:1362-1400)
         likelihood = self._make_likelihood()
-        kappa = likelihood.kappa(y_t)
-        pg_b = likelihood.pg_b(y_t)
+        kappa, pg_b = _kappa_pgb(likelihood)
         spectral = self._spectral(X_t, self._lengthscale_v_,
                                   self._variance_v_)
         if e_probes is None:
             e_probes = self._rademacher(self._key(999_999),
                                         (self.n_e_probes, X_t.shape[0]))
+            if n_buck != n_valid:
+                e_probes = e_probes * m_mask[None, :]
         eres = core.estep_pass(spectral, X_t, self._delta_t_, kappa, pg_b,
                                e_probes, max_iters=self.final_e_step_iters,
                                rho0=self.rho0, gamma=self.gamma,
@@ -323,14 +359,14 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self._beta_mean_t_ = beta_mean
         self._est_sums_ = None
 
-        self.delta_ = np.asarray(self._delta_t_)
-        self.posterior_mean_ = np.asarray(eres.mean)
-        self.posterior_var_diag_ = np.asarray(eres.sigma_diag)
+        self.delta_ = np.asarray(self._delta_t_)[:n_valid]
+        self.posterior_mean_ = np.asarray(eres.mean)[:n_valid]
+        self.posterior_var_diag_ = np.asarray(eres.sigma_diag)[:n_valid]
         self.lengthscale_ = self._lengthscale_v_
         self.variance_ = self._variance_v_
         self.n_iter_ = self.max_iter
         self.training_metric_ = likelihood.fit_metric(
-            eres.mean, eres.sigma_diag, y_t)
+            eres.mean[:n_valid], eres.sigma_diag[:n_valid], y_t)
         setattr(self, likelihood.training_attr, self.training_metric_)
         self.m_step_gradient_ = (np.asarray(ores.m_grad)
                                  if ores is not None else np.zeros(2))
@@ -485,8 +521,8 @@ class PolyagammaGPNegativeBinomialRegressor(_BasePolyagammaGPEstimator,
                   "total_count_updated": 0.0}
         if not self.learn_total_count:
             return record
-        mean = jnp.asarray(self._last_mean_)
-        var = jnp.asarray(self._last_sigma_diag_)
+        mean = jnp.asarray(self._last_mean_)[: targets.shape[0]]
+        var = jnp.asarray(self._last_sigma_diag_)[: targets.shape[0]]
         g = core.negative_binomial_total_count_gradient(
             targets, mean, var, total_count=tc,
             quadrature_nodes=self.total_count_quadrature_nodes)

@@ -557,7 +557,7 @@ class OuterStepResult(NamedTuple):
 def outer_step(x, kern, h, ws_mask, delta, kappa, pg_b, e_probes, m_key,
                raw, opt_state, *, mtot: int, e_iters: int, n_m_probes: int,
                rho0: float, gamma: float, e_tol, cg_tol: float, lr: float,
-               max_cg_iter: int = 2000) -> OuterStepResult:
+               max_cg_iter: int = 2000, m_mask=None) -> OuterStepResult:
     """One full EM outer iteration as a single compiled program: spectral
     state build + damped E-step + stochastic M-step + Adam ascent.
 
@@ -567,6 +567,11 @@ def outer_step(x, kern, h, ws_mask, delta, kappa, pg_b, e_probes, m_key,
     reference's per-iteration flow (pg_classifier.py:1286-1337) exactly;
     the m-step Rademacher probes are drawn inside from ``m_key``
     (reference seed 10_000 + outer, pg_classifier.py:1318).
+
+    ``m_mask`` (optional, (n,)): validity mask for n-bucketed (padded)
+    training points — the in-step M-step probes are zeroed on the pad so
+    padded points contribute nothing (padded delta/kappa/pg_b/e_probes are
+    already zero, which keeps the E-step exact without a mask).
     """
     import optax
 
@@ -578,6 +583,8 @@ def outer_step(x, kern, h, ws_mask, delta, kappa, pg_b, e_probes, m_key,
     n = x.shape[0]
     m_probes = (jax.random.bernoulli(m_key, 0.5, (n_m_probes, n)) * 2 - 1
                 ).astype(kappa.dtype)
+    if m_mask is not None:
+        m_probes = m_probes * m_mask[None, :].astype(m_probes.dtype)
     mres = mstep_gradient(spectral, x, eres.delta, kappa, m_probes,
                           cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     grad = jnp.real(mres.grad)

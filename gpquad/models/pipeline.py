@@ -140,9 +140,10 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
     hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
                                  sig_hi, sig_lo, mtot=mtot, passes=passes,
                                  chunk=chunk)
-    mean_high = _predict_high_jit(xnew, hstate.beta, jnp.real(hstate.ws),
+    mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
+                                  jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot,
-                                  d=x.shape[1], slab=slab)
+                                  d=x.shape[1], slab=slab, has_lo=False)
     return FusedHighResult(fused=fused, mean_high=mean_high,
                            high_residual=res)
 
@@ -194,8 +195,9 @@ def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     hstate, res = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
                                  h_lo, sig_hi, sig_lo, mtot=mtot,
                                  passes=passes, chunk=chunk)
-    mean_high = _predict_high_jit(xnew, hstate.beta, jnp.real(hstate.ws),
+    mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
+                                  jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot, d=d,
-                                  slab=slab)
+                                  slab=slab, has_lo=False)
     return FusedHighResult(fused=fused, mean_high=mean_high,
                            high_residual=res)

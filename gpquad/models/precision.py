@@ -291,12 +291,17 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
     return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo, beta_lo=beta_lo)
 
 
-@partial(jax.jit, static_argnames=("mtot", "d", "slab"))
+@partial(jax.jit, static_argnames=("mtot", "d", "slab", "has_lo"))
 def _predict_high_jit(x_new, beta, beta_lo, ws_hi, ws_lo, h_hi, h_lo, *,
-                      mtot: int, d: int, slab: int = 2048):
+                      mtot: int, d: int, slab: int = 2048,
+                      has_lo: bool = True):
     ws_df = (ws_hi, ws_lo)
-    c_re = df_mul(ws_df, (jnp.real(beta), jnp.real(beta_lo)))
-    c_im = df_mul(ws_df, (jnp.imag(beta), jnp.imag(beta_lo)))
+    # the zero low word is built INSIDE jit: the axon runtime rejects
+    # eagerly materialized complex constants (CLAUDE.md)
+    lo_re = jnp.real(beta_lo) if has_lo else jnp.zeros_like(jnp.real(beta))
+    lo_im = jnp.imag(beta_lo) if has_lo else jnp.zeros_like(jnp.real(beta))
+    c_re = df_mul(ws_df, (jnp.real(beta), lo_re))
+    c_im = df_mul(ws_df, (jnp.imag(beta), lo_im))
     hi, lo = df_nufft2_real(x_new, c_re, c_im, (h_hi, h_lo), mtot,
                             slab=slab)
     return hi + lo
@@ -310,8 +315,9 @@ def predict_mean_high(hs: HighState, x_new, *, slab: int = 2048):
     if x_new.ndim == 1:
         x_new = x_new[:, None]
     st = hs.state
-    beta_lo = (hs.beta_lo if hs.beta_lo is not None
-               else jnp.zeros_like(st.beta))
-    return _predict_high_jit(x_new, st.beta, beta_lo, jnp.real(st.ws),
-                             hs.ws_lo, st.h, hs.h_lo, mtot=st.mtot,
-                             d=st.d, slab=slab)
+    has_lo = hs.beta_lo is not None
+    return _predict_high_jit(x_new, st.beta,
+                             hs.beta_lo if has_lo else st.beta,
+                             jnp.real(st.ws), hs.ws_lo, st.h, hs.h_lo,
+                             mtot=st.mtot, d=st.d, slab=slab,
+                             has_lo=has_lo)

@@ -31,6 +31,7 @@ __all__ = [
     "spectral_grid",
     "padded_grid_mask",
     "bucket_mtot",
+    "bucket_points",
 ]
 
 
@@ -186,6 +187,25 @@ def bucket_mtot(mtot: int, minimum: int = 9) -> int:
     # force odd (grids are symmetric: 2*hm+1 points)
     if rung % 2 == 0:
         rung += 1
+    return rung
+
+
+def bucket_points(n: int, minimum: int = 100) -> int:
+    """Round a point count up to a 1-2-5 decade ladder.
+
+    Padding ``n`` to a static rung lets jitted point-space programs (the
+    fused PG outer step in particular) compile once per rung instead of
+    once per dataset size — the same trick :func:`bucket_mtot` plays for
+    the frequency grid.  Padded points carry exactly-zero weights
+    (delta/kappa/probes), so every operator built on them is algebraically
+    unchanged.
+    """
+    if n <= minimum:
+        return minimum
+    rung = minimum
+    while rung < n:
+        lead = int(str(rung)[0])
+        rung = rung * 2 if lead in (1, 5) else rung * 5 // 2   # 1->2->5->10
     return rung
 
 

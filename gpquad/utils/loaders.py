@@ -26,7 +26,7 @@ import numpy as np
 __all__ = [
     "data_dir", "load_era5", "load_oisst", "load_oisst_grid",
     "load_prism_dataset", "load_prism", "load_roads", "load_taxi",
-    "load_co2", "load_synthetic_gp",
+    "load_co2", "load_synthetic_gp", "load_usa_temp",
 ]
 
 
@@ -271,4 +271,33 @@ def load_synthetic_gp(n: int = 5000, d: int = 1, lengthscale: float = 0.5,
         f = np.asarray(sample_gp_dense(key, jnp.asarray(x), kern,
                                        noise_variance=0.0))
     y = f + np.sqrt(noise) * rng.normal(size=n)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+def load_usa_temp(path=None, standardize=True):
+    """USA temperature stations: (n, 2) locations + temperatures — the
+    REAL dataset behind the reference's committed CG-preconditioning CSV
+    (reference benchmark_cg_preconditioning_realdata.py:67-73, which
+    min-max scales x to the unit square and standardizes y; same here).
+
+    Reads the reference's ``usa_temp_data.pt`` (torch CPU): looks in
+    ``$GPQUAD_DATA_DIR``, ``./data``, then the mounted reference checkout.
+    """
+    candidates = ([Path(path)] if path is not None else [
+        data_dir() / "usa_temp_data.pt",
+        Path(__file__).resolve().parents[2] / "data" / "usa_temp_data.pt",
+        Path("/root/reference/data/usa_temp_data.pt"),
+    ])
+    p = next((c for c in candidates if c.exists()), None)
+    if p is None:
+        raise FileNotFoundError(
+            f"usa_temp_data.pt not found in {[str(c) for c in candidates]}")
+    import torch
+    data = torch.load(p, map_location="cpu", weights_only=False)
+    x = np.asarray(data["x"], np.float64)
+    y = np.asarray(data["y"], np.float64)
+    if standardize:
+        x = (x - x.min(axis=0)) / (x.max(axis=0) - x.min(axis=0))
+        y = (y - y.mean()) / y.std()
     return x, y

@@ -391,3 +391,19 @@ def test_estimator_prediction_batch_and_tol_plumbed(rng):
     assert a.history_[0]["e_iters_used"] == 3.0
     c = PolyagammaGPClassifier(e_step_tol=1e6, **base).fit(X, y)
     assert c.history_[0]["e_iters_used"] == 1.0
+
+
+def test_classifier_n_bucketing(rng):
+    """n is padded to a 1-2-5 rung (compile-once-per-rung cold-start fix):
+    padded points carry zero delta/kappa/probes, so the fit is
+    algebraically the unpadded one; public attrs are sliced to n."""
+    X, y = _binary_data(rng, n=130)            # pads to the 200 rung
+    clf = PolyagammaGPClassifier(max_iter=6, random_state=0,
+                                 dtype="float64").fit(X, y)
+    assert clf._n_valid_ == 130
+    assert clf._delta_t_.shape[0] == 200       # internal padded state
+    assert np.all(np.asarray(clf._delta_t_)[130:] == 0.0)  # pads stay zero
+    assert clf.delta_.shape == (130,)
+    assert clf.posterior_mean_.shape == (130,)
+    assert clf.predict_proba(X).shape == (130, 2)
+    assert clf.training_accuracy_ > 0.8
