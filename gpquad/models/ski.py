@@ -111,6 +111,50 @@ def _cubic_weights(t):
 
 
 import dataclasses
+from typing import NamedTuple
+
+_BANDED_BH = 8          # band height (rows); slab height is BH + 3
+
+
+class BandedInterpTables(NamedTuple):
+    """Point-to-band gather tables for the scatter-free ``interp_T``
+    (d=2): points sorted by the stencil's base grid row, padded to a
+    static per-band ``cap`` (host-planned; the same banded-dense recipe
+    as ops/spread_banded.py, here with the cubic 4-point stencil)."""
+    pidx: jnp.ndarray       # (nbands, cap) int32 original point index
+    valid: jnp.ndarray      # (nbands, cap) bool
+    i0loc: jnp.ndarray      # (nbands, cap) int32 local row offset 0..BH-1
+    c0: jnp.ndarray         # (nbands, cap) int32 column stencil start
+    w_row: jnp.ndarray      # (nbands, cap, 4) row cubic weights
+    w_col: jnp.ndarray      # (nbands, cap, 4) column cubic weights
+
+
+def _plan_banded_interp(i0, w1d, G1: int, bh: int = _BANDED_BH,
+                        slack: float = 1.25):
+    """Host-side banded plan (concrete stencils only): sort by base row
+    band, pad band occupancy to a static cap."""
+    i0 = np.asarray(i0)
+    w1d = np.asarray(w1d)
+    n = i0.shape[0]
+    nbands = -(-G1 // bh)
+    band = i0[:, 0] // bh
+    order = np.argsort(band, kind="stable")
+    band_sorted = band[order]
+    starts = np.searchsorted(band_sorted, np.arange(nbands + 1))
+    occ = starts[1:] - starts[:-1]
+    cap = max(8, int(math.ceil(occ.max() * slack / 8.0)) * 8)
+    offs = starts[:-1, None] + np.arange(cap)[None, :]
+    valid = offs < starts[1:, None]
+    table = np.where(valid, np.clip(offs, 0, n - 1), 0)
+    pidx = order[table]
+    i0loc = i0[pidx, 0] - (np.arange(nbands) * bh)[:, None]
+    return BandedInterpTables(
+        pidx=jnp.asarray(pidx.astype(np.int32)),
+        valid=jnp.asarray(valid),
+        i0loc=jnp.asarray(i0loc.astype(np.int32)),
+        c0=jnp.asarray(i0[pidx, 1].astype(np.int32)),
+        w_row=jnp.asarray(w1d[pidx, 0, :]),
+        w_col=jnp.asarray(w1d[pidx, 1, :]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +171,7 @@ class SKIOperator:
         metadata={"static": True}, default=())
     lo: Optional[jnp.ndarray] = None
     dx: Optional[jnp.ndarray] = None
+    banded: Optional[BandedInterpTables] = None
 
     @property
     def M(self) -> int:
@@ -138,13 +183,81 @@ class SKIOperator:
         return jnp.sum(g * self.wvals, axis=-1)
 
     def interp_T(self, u):
-        """W^T u: points -> grid; u (..., n) -> (..., M)."""
+        """W^T u: points -> grid; u (..., n) -> (..., M).
+
+        With banded tables (d=2, host-planned) the scatter-add becomes
+        dense per-band MXU work — XLA scatter throughput (~1e8 updates/s,
+        51 ms at n=2e5) was SKI's single slowest op on v5e; the sorted
+        segment-sum alternative lost (commit 8dc1021), the banded-dense
+        formulation is the lever that wins."""
+        if self.banded is not None and len(self.grid_shape) == 2:
+            return self._interp_T_banded(u)
         contrib = u[..., :, None] * self.wvals      # (..., n, 4^d)
         flat_idx = self.idx.reshape(-1)
         out_shape = u.shape[:-1] + (self.M,)
         z = jnp.zeros(out_shape, u.dtype)
         return z.at[..., flat_idx].add(
             contrib.reshape(u.shape[:-1] + (-1,)))
+
+    def _interp_T_banded(self, u):
+        t = self.banded
+        G1, G2 = self.grid_shape
+        bh = _BANDED_BH
+        nbands, cap = t.pidx.shape
+        batch = u.shape[:-1]
+        ub = u.reshape((-1, u.shape[-1]))           # (B, n)
+        B = ub.shape[0]
+        us = ub[:, t.pidx.reshape(-1)].reshape(B, nbands, cap) \
+            * t.valid[None].astype(u.dtype)
+        rho = jnp.arange(bh + 3, dtype=jnp.int32)
+        cols = jnp.arange(G2, dtype=jnp.int32)
+
+        cc = min(cap, 2048)
+        ncc = -(-cap // cc)
+        cap_pad = ncc * cc
+
+        def padc(a, fill=0):
+            if cap_pad == cap:
+                return a
+            pads = [(0, 0), (0, cap_pad - cap)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pads, constant_values=fill)
+
+        i0loc_c = padc(t.i0loc).reshape(nbands, ncc, cc).swapaxes(0, 1)
+        c0_c = padc(t.c0).reshape(nbands, ncc, cc).swapaxes(0, 1)
+        wr_c = padc(t.w_row).reshape(nbands, ncc, cc, 4).swapaxes(0, 1)
+        wc_c = padc(t.w_col).reshape(nbands, ncc, cc, 4).swapaxes(0, 1)
+        # (B, nbands, cap) -> (ncc, nbands, cc, B)
+        us_c = jnp.moveaxis(
+            padc(jnp.moveaxis(us, 0, -1)).reshape(nbands, ncc, cc, B),
+            1, 0)
+
+        dt = u.dtype
+
+        def chunk2(carry, args):
+            i0c, c0c, wrc, wcc, uc = args            # uc: (nbands, cc, B)
+            s_row = jnp.zeros((nbands, cc, bh + 3), dt)
+            s_col = jnp.zeros((nbands, cc, G2), dt)
+            for j in range(4):
+                s_row = s_row + wrc[..., j].astype(dt)[..., None] * (
+                    (i0c + j)[..., None] == rho[None, None, :]).astype(dt)
+                s_col = s_col + wcc[..., j].astype(dt)[..., None] * (
+                    (c0c + j)[..., None] == cols[None, None, :]).astype(dt)
+            sv = s_col[:, :, None, :] * uc[:, :, :, None]  # (nb, cc, B, G2)
+            slab = jnp.einsum("bcr,bcBf->bBrf", s_row, sv,
+                              precision=jax.lax.Precision.HIGHEST)
+            return carry + slab, None
+
+        init = jnp.zeros((nbands, B, bh + 3, G2), dt)
+        slabs, _ = jax.lax.scan(chunk2, init,
+                                (i0loc_c, c0_c, wr_c, wc_c, us_c))
+        core = slabs[:, :, :bh, :]                   # (nb, B, bh, G2)
+        halo = slabs[:, :, bh:, :]                   # (nb, B, 3, G2)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(halo[:1]), halo[:-1]], axis=0)
+        addend = jnp.concatenate(
+            [shifted, jnp.zeros((nbands, B, bh - 3, G2), dt)], axis=2)
+        fine = (core + addend).swapaxes(0, 1).reshape(B, nbands * bh, G2)
+        return fine[:, :G1, :].reshape(batch + (G1 * G2,))
 
     def matvec(self, v, sigmasq, toeplitz: Optional[ToeplitzND] = None):
         """(W K_g W^T + sigma^2 I) v over the trailing point axis."""
@@ -154,7 +267,8 @@ class SKIOperator:
 
 
 jax.tree_util.register_dataclass(
-    SKIOperator, data_fields=["idx", "wvals", "toeplitz", "lo", "dx"],
+    SKIOperator, data_fields=["idx", "wvals", "toeplitz", "lo", "dx",
+                              "banded"],
     meta_fields=["grid_shape"],
 )
 
@@ -209,8 +323,13 @@ def build_ski_operator(x, kernel, grid_size: Tuple[int, ...],
     toeplitz = make_toeplitz(
         _grid_lag_table(kernel, ext_sizes, dx).astype(
             jnp.complex64 if rdtype == jnp.float32 else jnp.complex128))
+    banded = None
+    if d == 2 and not isinstance(x, jax.core.Tracer):
+        banded = _plan_banded_interp(np.asarray(i0), np.asarray(w1d),
+                                     ext_sizes[0])
     return SKIOperator(idx=idx, wvals=wv, toeplitz=toeplitz,
-                       grid_shape=ext_sizes, lo=lo_ext, dx=dx)
+                       grid_shape=ext_sizes, lo=lo_ext, dx=dx,
+                       banded=banded)
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +338,7 @@ def build_ski_operator(x, kernel, grid_size: Tuple[int, ...],
 
 @partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter", "trace_samples",
                                    "slq_probes", "slq_steps", "grid_shape"))
-def _ski_loss_and_grad(idx, wvals, x, y, kernel, sigmasq, key, *,
+def _ski_loss_and_grad(idx, wvals, banded, x, y, kernel, sigmasq, key, *,
                        grid_shape, dx, cg_tol, max_cg_iter, trace_samples,
                        slq_probes, slq_steps):
     """One MLL evaluation + gradient wrt (hypers..., noise).
@@ -230,7 +349,7 @@ def _ski_loss_and_grad(idx, wvals, x, y, kernel, sigmasq, key, *,
     n = y.shape[0]
     rdtype = y.dtype
     op = SKIOperator(idx=idx, wvals=wvals, toeplitz=None,
-                     grid_shape=grid_shape, lo=None, dx=dx)
+                     grid_shape=grid_shape, lo=None, dx=dx, banded=banded)
     lag = _grid_lag_table(kernel, grid_shape, dx)
     cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     T = make_toeplitz(lag.astype(cdtype))
@@ -375,7 +494,7 @@ def fit_ski_gp(x, y, *, kernel: str = "SE", grid_size=None,
         pos = jnp.exp(raw)
         kern = template.with_hypers(pos)
         nll, grad, iters, alpha = _ski_loss_and_grad(
-            op.idx, op.wvals, x_t, y_t, kern, pos[-1],
+            op.idx, op.wvals, op.banded, x_t, y_t, kern, pos[-1],
             jax.random.fold_in(key, it), grid_shape=op.grid_shape, dx=op.dx,
             cg_tol=cg_tolerance, max_cg_iter=max_cg_iterations,
             trace_samples=num_trace_samples, slq_probes=slq_probes,
