@@ -1,11 +1,12 @@
 """Device-mesh scale-out (data-parallel points, probe-parallel traces,
 pencil-sharded frequency grids)."""
 from .msharded import (make_msharded_A_mean, msharded_fit,
-                       msharded_toeplitz_matvec, shard_toeplitz_kernel)
+                       msharded_gradient, msharded_toeplitz_matvec,
+                       shard_toeplitz_kernel)
 from .sharding import (make_mesh, replicate, shard_points, shard_probes,
                        sharded_fit, sharded_gradient)
 
 __all__ = ["make_mesh", "replicate", "shard_points", "shard_probes",
            "sharded_fit", "sharded_gradient",
            "msharded_toeplitz_matvec", "shard_toeplitz_kernel",
-           "make_msharded_A_mean", "msharded_fit"]
+           "make_msharded_A_mean", "msharded_fit", "msharded_gradient"]

@@ -198,3 +198,28 @@ def test_msharded_fit_rejects_other_dims():
     with pytest.raises(NotImplementedError):
         msharded_fit(jnp.zeros((8, 1)), jnp.zeros(8), kernel, 0.1, 0.3,
                      9, mesh)
+
+
+def test_msharded_gradient_matches_single_device():
+    """M-sharded gradient (pencil-FFT operator inside the batched trace
+    CG) == the single-device estimator with the same explicit probes."""
+    from gpquad.parallel import msharded_gradient
+    rng = np.random.default_rng(11)
+    n, mtot, h, sigmasq = 3000, 65, 0.03, 0.05
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 2)))
+    y = jnp.asarray(rng.normal(size=n))
+    kernel = SquaredExponential(lengthscale=0.05, variance=1.0, dimension=2)
+    T = 4
+    Z = jnp.asarray(rng.integers(0, 2, (T, n)) * 2.0 - 1)
+    V = jnp.asarray(rng.integers(0, 2, (T, mtot ** 2)) * 2.0 - 1)
+    ref = gradient_with_grid(x, y, kernel, 0.05, jnp.asarray(h),
+                             jax.random.PRNGKey(0), mtot=mtot,
+                             trace_samples=T, cg_tol=1e-8, solver="cg",
+                             probes=(Z, V))
+    mesh = make_mesh(8)
+    res = msharded_gradient(x, y, kernel, 0.05, h, jax.random.PRNGKey(0),
+                            mesh, mtot=mtot, trace_samples=T, cg_tol=1e-8,
+                            probes=(Z, V))
+    assert np.allclose(np.asarray(res.grad), np.asarray(ref.grad),
+                       rtol=1e-5), (np.asarray(res.grad),
+                                    np.asarray(ref.grad))
