@@ -443,6 +443,14 @@ def main():
                          cg_tol=1e-4, max_cg_iter=1000,
                          probes=(jnp.asarray(Zp), jnp.asarray(Vp)))
 
+    # df64 gradient (models/gradient_high.py): the f32 estimator's ~4e-3
+    # relative error is an arithmetic floor (catastrophic cancellation in
+    # the trace chain), not a tolerance artifact — this path does the
+    # cancellation in df64
+    from gpquad.models.gradient_high import gradient_high
+    t_grad_high, gh = timed(gradient_high, x, y, kernel, sigmasq, float(h),
+                            int(mtot), probes=(Zp, Vp))
+
     # headline = the single fused program: f32 pass (mean+var+grad) PLUS
     # the high-precision refit+mean delivering the eps=1e-6 oracle
     # agreement — everything the north star asks for in one dispatch
@@ -462,6 +470,7 @@ def main():
         "var_stochastic_s": round(t_var, 4),
         "var_chebyshev_s": round(t_var_cheb, 4),
         "grad_s": round(t_grad, 4),
+        "grad_high_s": round(t_grad_high, 4),
         "compile_s": round(compile_s, 2),
         "mean_cg_iters": int(out.mean_cg_iters),
         "mean_cg_converged": bool(np.asarray(out.mean_converged)),
@@ -510,6 +519,13 @@ def main():
             round(float(v), 8) for v in rel_components]
         out_json["grad_f64_components"] = [
             round(float(v), 6) for v in grad64]
+        gh64 = np.asarray(gh.grad, np.float64)
+        rel_high = (np.abs(gh64 - grad64)
+                    / np.maximum(np.abs(grad64), 1e-10))
+        out_json["max_rel_err_grad_high_vs_dense_f64"] = round(
+            float(np.max(rel_high)), 9)
+        out_json["rel_err_grad_high_components"] = [
+            round(float(v), 9) for v in rel_high]
         var_st64 = stochastic_var_f64(obj, etas, xt[:500])
         out_json["max_err_var_stoch_vs_dense_f64"] = round(
             float(np.max(np.abs(np.asarray(var)[:500] - var_st64))), 8)

@@ -41,7 +41,8 @@ from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from ..ops.toeplitz_df import make_toeplitz_df, toeplitz_df_matvec
 from .efgp import FitState, tensor_grid
 
-__all__ = ["HighState", "ws_host_f64", "fit_high", "predict_mean_high"]
+__all__ = ["HighState", "ws_host_f64", "fit_high",
+           "predict_mean_high", "df64_ir_solve"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -160,6 +161,43 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     return state, res / bn
 
 
+def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
+                  ir_tol: float, ir_maxiter: int):
+    """Iterative refinement of ``A x = b`` to the df64 floor: per pass,
+    the TRUE residual is computed in df64 via ``A_df`` (a (re, im) df-pair
+    matvec) and the correction system solved with the f32 PCG to the
+    loose ``ir_tol`` — the true residual contracts by ~ir_tol per pass.
+    ``b_re``/``b_im``: df pairs shaped (M,) or (B, M) (batched RHS share
+    one lane-masked PCG).  Runs as a ``lax.scan`` so XLA compiles ONE copy
+    of the df64 matvec + inner CG.
+
+    Returns ((x_re, x_im) df pairs, total inner iters, last true residual
+    norm BEFORE the final correction).
+    """
+    zero = jnp.zeros_like(b_re[0])
+
+    def body(carry, _):
+        x_re, x_im, iters = carry
+        a_re, a_im = A_df(x_re, x_im)
+        rr = df_sub(b_re, a_re)
+        ri = df_sub(b_im, a_im)
+        resnorm = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2
+                                   + (ri[0] + ri[1]) ** 2))
+        r32 = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
+        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter,
+                   M_inv=M_inv)
+        x_re = df_add(x_re, (jnp.real(corr.x), zero))
+        x_im = df_add(x_im, (jnp.imag(corr.x), zero))
+        return (x_re, x_im, iters + corr.iters), resnorm
+
+    carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32))
+    (x_re, x_im, iters), resnorms = lax.scan(body, carry0, None,
+                                             length=passes)
+    # resnorms[k] is the TRUE df64 residual BEFORE the k-th correction;
+    # the last entry certifies the pass before the final correction
+    return (x_re, x_im), iters, resnorms[-1]
+
+
 @partial(jax.jit, static_argnames=("mtot", "passes", "chunk",
                                    "ir_tol", "ir_maxiter"))
 def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
@@ -217,28 +255,9 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
         return a_re, a_im
 
     bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
-    zero = jnp.zeros_like(ws_hi)
-
-    def body(carry, _):
-        beta_re, beta_im, iters = carry
-        a_re, a_im = A_df(beta_re, beta_im)
-        rr = df_sub(b_re, a_re)
-        ri = df_sub(b_im, a_im)
-        resnorm = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2
-                                   + (ri[0] + ri[1]) ** 2))
-        r32 = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
-        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter,
-                   M_inv=M_inv)
-        beta_re = df_add(beta_re, (jnp.real(corr.x), zero))
-        beta_im = df_add(beta_im, (jnp.imag(corr.x), zero))
-        return (beta_re, beta_im, iters + corr.iters), resnorm
-
-    carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32))
-    (beta_re, beta_im, iters), resnorms = lax.scan(
-        body, carry0, None, length=passes)
-    # resnorms[k] is the TRUE df64 residual BEFORE the k-th correction;
-    # the last entry certifies the pass before the final correction
-    res = resnorms[-1]
+    (beta_re, beta_im), iters, res = df64_ir_solve(
+        A_mean, M_inv, A_df, b_re, b_im, passes=passes, ir_tol=ir_tol,
+        ir_maxiter=ir_maxiter)
 
     beta = lax.complex(beta_re[0], beta_im[0])
     beta_lo = lax.complex(beta_re[1], beta_im[1])

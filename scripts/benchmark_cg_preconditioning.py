@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--lengthscale", type=float, default=0.05,
                     help="small lengthscale reproduces the 'hard' regime")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--usa-temp", action="store_true",
+                    help="run on the REAL USA temperature dataset — the "
+                         "reference's benchmark_cg_preconditioning_realdata "
+                         "configuration (n=4766)")
     ap.add_argument("--out", default="experiments/cg_preconditioning.csv")
     args = ap.parse_args()
     if args.cpu:
@@ -44,8 +48,14 @@ def main():
     from gpquad.quadrature import spectral_grid
     from gpquad.utils.loaders import load_synthetic_gp
 
-    xh, yh = load_synthetic_gp(n=args.n, d=2, lengthscale=args.lengthscale,
-                               variance=1.0, noise=0.1, seed=0)
+    if args.usa_temp:
+        from gpquad.utils.loaders import load_usa_temp
+        xh, yh = load_usa_temp()
+        args.n = len(yh)
+    else:
+        xh, yh = load_synthetic_gp(n=args.n, d=2,
+                                   lengthscale=args.lengthscale,
+                                   variance=1.0, noise=0.1, seed=0)
     dtype = jnp.float64 if args.cpu else jnp.float32
     x = jnp.asarray(xh, dtype)
     y = jnp.asarray(yh, dtype)

@@ -173,3 +173,27 @@ def test_fit_high_dense_guard():
                                 variance=jnp.float32(1.0), dimension=2)
     with pytest.raises(ValueError, match="DENSE_SOLVER_MAX_M"):
         fit_high(x, y, kernel, 0.1, 0.05, 101, solver="dense")
+
+
+def test_gradient_high_beats_f32_floor(rng):
+    """df64 gradient (models/gradient_high.py) must agree with the
+    same-probe dense f64 oracle ~two orders below the f32 estimator's
+    ~4e-3 arithmetic floor (VERDICT r2 #3's 'extend df64 to the
+    gradient')."""
+    from gpquad.models.gradient_high import gradient_high
+    from gpquad.utils.f64_oracles import efgp_f64_objects, gradient_f64
+    n, d, mtot, h, sigmasq, ell, var = 2000, 2, 9, 0.31, 0.01, 0.25, 1.3
+    x32 = rng.uniform(0, 1, (n, d)).astype(np.float32)
+    y32 = rng.normal(size=n).astype(np.float32)
+    T, M = 4, mtot ** d
+    Zp = (rng.integers(0, 2, (T, n)) * 2 - 1).astype(np.float32)
+    Vp = (rng.integers(0, 2, (T, M)) * 2 - 1).astype(np.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
+                                variance=jnp.float32(var), dimension=d)
+    obj = efgp_f64_objects(x32, y32, ell, var, sigmasq, h, mtot)
+    g64 = gradient_f64(obj, Zp, Vp)
+    res = gradient_high(jnp.asarray(x32), jnp.asarray(y32), kernel,
+                        sigmasq, h, mtot, probes=(Zp, Vp))
+    rel = np.max(np.abs(np.asarray(res.grad, np.float64) - g64)
+                 / np.maximum(np.abs(g64), 1e-10))
+    assert rel < 3e-4, rel
