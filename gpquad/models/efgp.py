@@ -143,14 +143,15 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
 def plan_nufft_caps(x, h, mtot: int) -> tuple:
     """Host-side static band caps for the banded backend: (fit grid,
     doubled convolution-vector grid).  Requires concrete ``x``/``h``."""
-    from ..ops.spread_banded import banded_plan_cap
+    from ..ops.spread_banded import banded_plan_cap, banded_plan_cap_3d
     import numpy as np
     xh = np.asarray(x)
     if xh.ndim == 1:
         xh = xh[:, None]
     m = (mtot - 1) // 2
-    return (banded_plan_cap(xh, float(h), mtot),
-            banded_plan_cap(xh, float(h), 4 * m + 1))
+    plan = banded_plan_cap if xh.shape[1] == 2 else banded_plan_cap_3d
+    return (plan(xh, float(h), mtot),
+            plan(xh, float(h), 4 * m + 1))
 
 
 @partial(jax.jit,

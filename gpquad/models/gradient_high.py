@@ -97,12 +97,13 @@ def _df_scal(pair, x):
 
 
 @partial(jax.jit, static_argnames=("mtot", "trace_samples", "passes",
-                                   "chunk", "ir_tol", "ir_maxiter"))
+                                   "chunk", "ir_tol", "ir_maxiter",
+                                   "rtol"))
 def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
                         sig_hi, sig_lo, isig_hi, isig_lo, ivar_hi, ivar_lo,
                         var_hi, var_lo, *, mtot: int, trace_samples: int,
                         passes: int, chunk: int, ir_tol: float,
-                        ir_maxiter: int):
+                        ir_maxiter: int, rtol: float = 0.0):
     n, d = x.shape
     m = (mtot - 1) // 2
     T = trace_samples
@@ -171,7 +172,7 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
 
     (X_re, X_im), iters, res = df64_ir_solve(
         A_mean32, M_inv, A_df, B_re, B_im, passes=passes, ir_tol=ir_tol,
-        ir_maxiter=ir_maxiter)
+        ir_maxiter=ir_maxiter, rtol=rtol)
 
     beta_re = (X_re[0][0], X_re[1][0])
     beta_im = (X_im[0][0], X_im[1][0])
@@ -241,7 +242,8 @@ def gradient_high(x, y, kernel, sigmasq, h, mtot: int, *,
                   trace_samples: int = 10, key=None,
                   probes: Optional[Tuple] = None, passes: int = 5,
                   chunk: int = 64, ir_tol: float = 1e-2,
-                  ir_maxiter: int = 600) -> GradientHighResult:
+                  ir_maxiter: int = 600,
+                  ir_rtol: float = 1e-8) -> GradientHighResult:
     """df64 hyper-gradient over (lengthscale, variance, sigmasq).
 
     Same estimator and probe conventions as
@@ -285,5 +287,5 @@ def gradient_high(x, y, kernel, sigmasq, h, mtot: int, *,
         x, jnp.asarray(y), Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
         sig_hi, sig_lo, isig_hi, isig_lo, ivar_hi, ivar_lo, var_hi, var_lo,
         mtot=mtot, trace_samples=Z.shape[0], passes=passes, chunk=chunk,
-        ir_tol=ir_tol, ir_maxiter=ir_maxiter)
+        ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=ir_rtol)
     return GradientHighResult(grad=grad, inner_iters=iters, residual=res)

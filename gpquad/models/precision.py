@@ -162,22 +162,32 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
 
 
 def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
-                  ir_tol: float, ir_maxiter: int):
+                  ir_tol: float, ir_maxiter: int, rtol: float = 0.0):
     """Iterative refinement of ``A x = b`` to the df64 floor: per pass,
     the TRUE residual is computed in df64 via ``A_df`` (a (re, im) df-pair
     matvec) and the correction system solved with the f32 PCG to the
     loose ``ir_tol`` — the true residual contracts by ~ir_tol per pass.
     ``b_re``/``b_im``: df pairs shaped (M,) or (B, M) (batched RHS share
-    one lane-masked PCG).  Runs as a ``lax.scan`` so XLA compiles ONE copy
-    of the df64 matvec + inner CG.
+    one lane-masked PCG).  Runs as a ``lax.while_loop`` so XLA compiles
+    ONE copy of the df64 matvec + inner CG, and — when ``rtol > 0`` —
+    stops as soon as the measured true residual drops below
+    ``rtol * |b|`` (well-conditioned systems converge in 2-3 of the
+    ``passes`` budget; ``rtol=0`` reproduces the fixed-pass schedule).
 
     Returns ((x_re, x_im) df pairs, total inner iters, last true residual
     norm BEFORE the final correction).
     """
     zero = jnp.zeros_like(b_re[0])
+    bn = jnp.sqrt(jnp.sum((b_re[0] + b_re[1]) ** 2
+                          + (b_im[0] + b_im[1]) ** 2))
+    big = jnp.asarray(jnp.inf, bn.dtype)
 
-    def body(carry, _):
-        x_re, x_im, iters = carry
+    def cond(carry):
+        _, _, _, k, res = carry
+        return (k < passes) & (res > rtol * bn)
+
+    def body(carry):
+        x_re, x_im, iters, k, _ = carry
         a_re, a_im = A_df(x_re, x_im)
         rr = df_sub(b_re, a_re)
         ri = df_sub(b_im, a_im)
@@ -188,21 +198,21 @@ def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
                    M_inv=M_inv)
         x_re = df_add(x_re, (jnp.real(corr.x), zero))
         x_im = df_add(x_im, (jnp.imag(corr.x), zero))
-        return (x_re, x_im, iters + corr.iters), resnorm
+        return (x_re, x_im, iters + corr.iters, k + 1, resnorm)
 
-    carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32))
-    (x_re, x_im, iters), resnorms = lax.scan(body, carry0, None,
-                                             length=passes)
-    # resnorms[k] is the TRUE df64 residual BEFORE the k-th correction;
-    # the last entry certifies the pass before the final correction
-    return (x_re, x_im), iters, resnorms[-1]
+    carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32),
+              jnp.asarray(0, jnp.int32), big)
+    x_re, x_im, iters, _, res = lax.while_loop(cond, body, carry0)
+    # res is the TRUE df64 residual measured BEFORE the final correction
+    return (x_re, x_im), iters, res
 
 
 @partial(jax.jit, static_argnames=("mtot", "passes", "chunk",
-                                   "ir_tol", "ir_maxiter"))
+                                   "ir_tol", "ir_maxiter", "rtol"))
 def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
                         mtot: int, passes: int, chunk: int,
-                        ir_tol: float, ir_maxiter: int):
+                        ir_tol: float, ir_maxiter: int,
+                        rtol: float = 0.0):
     """Matrix-free high-precision fit for grids past the dense-solver
     window: f32 Jacobi-PCG correction solves (ops/cg.py) driven by df64
     TRUE residuals from the df64 Toeplitz matvec (ops/toeplitz_df.py).
@@ -257,7 +267,7 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
     (beta_re, beta_im), iters, res = df64_ir_solve(
         A_mean, M_inv, A_df, b_re, b_im, passes=passes, ir_tol=ir_tol,
-        ir_maxiter=ir_maxiter)
+        ir_maxiter=ir_maxiter, rtol=rtol)
 
     beta = lax.complex(beta_re[0], beta_im[0])
     beta_lo = lax.complex(beta_re[1], beta_im[1])
@@ -271,13 +281,17 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
 def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
              chunk: int = 64, solver: str = "auto",
              ir_passes: int = 5, ir_tol: float = 1e-2,
-             ir_maxiter: int = 600) -> HighState:
+             ir_maxiter: int = 600, ir_rtol: float = 1e-8) -> HighState:
     """High-precision fit.  ``h``, ``sigmasq`` and the kernel hypers must
     be concrete (host f64 planning values), not jit tracers.
 
     ``solver``: 'auto' uses the dense df64 operator while
     ``M <= DENSE_SOLVER_MAX_M`` and the matrix-free df64-Toeplitz
     refinement beyond ('dense' / 'iterative' force a branch).
+    ``ir_rtol``: residual-based early stop for the iterative branch —
+    refinement ends once the measured true residual is below
+    ``ir_rtol * |b|`` (well inside the 1e-6 mean-agreement target), or
+    after ``ir_passes`` passes, whichever comes first.
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -306,7 +320,7 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
     state, beta_lo, _ = _fit_high_iter_core(
         x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
         mtot=mtot, passes=ir_passes, chunk=chunk, ir_tol=ir_tol,
-        ir_maxiter=ir_maxiter)
+        ir_maxiter=ir_maxiter, rtol=ir_rtol)
     return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo, beta_lo=beta_lo)
 
 

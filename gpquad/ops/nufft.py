@@ -207,7 +207,7 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     (d=3 mode-tiles its first dim past mtot = 56, up to mtot <= 256).
     ``method="spread"`` (d=2, symmetric ordering) selects the classical
     scatter/gather ES-kernel spreading backend (no cap planning needed);
-    ``method="banded"`` (d=2, symmetric ordering) selects the scatter-free
+    ``method="banded"`` (d in {2, 3}, symmetric ordering) selects the scatter-free
     banded spread/interp backend — fastest at very large mtot; its static
     band ``cap`` is planned on the host when ``x`` is concrete, or must be
     passed explicitly (``ops.spread_banded.banded_plan_cap``) under jit.
@@ -223,10 +223,13 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
         return PallasNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
                            fft_order=fft_order)
     if method == "banded":
-        if x.shape[1] != 2 or fft_order:
+        if x.shape[1] not in (2, 3) or fft_order:
             raise NotImplementedError(
-                "banded NUFFT supports d=2 with symmetric mode ordering")
-        from .spread_banded import BandedNUFFT, banded_plan_cap
+                "banded NUFFT supports d in {2, 3} with symmetric mode "
+                "ordering")
+        from .spread_banded import (BandedNUFFT, BandedNUFFT3D,
+                                    banded_plan_cap, banded_plan_cap_3d)
+        plan = banded_plan_cap if x.shape[1] == 2 else banded_plan_cap_3d
         if cap is None:
             if isinstance(x, jax.core.Tracer) or isinstance(
                     h, jax.core.Tracer):
@@ -234,9 +237,9 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
                     "banded NUFFT under jit needs a static band cap; plan "
                     "it outside with ops.spread_banded.banded_plan_cap and "
                     "pass cap=")
-            cap = banded_plan_cap(x, float(h), mtot)
-        return BandedNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot,
-                           cap=cap)
+            cap = plan(x, float(h), mtot)
+        cls = BandedNUFFT if x.shape[1] == 2 else BandedNUFFT3D
+        return cls(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot, cap=cap)
     if method == "spread":
         if x.shape[1] != 2 or fft_order:
             raise NotImplementedError(

@@ -971,11 +971,26 @@ def _d3_j1_block(m: int) -> int:
     return max(1, min(8, (1 << 19) // (m * m)))
 
 
-def _type2_3d_tiled_kernel(x_ref, fre_ref, fim_ref, k1_ref, k_ref, h_ref,
-                           out_ref):
+def _k1_block(j, jb: int, mtot: int, fft_order: bool):
+    """The JB mode values of first-dim slab ``j``, computed in-kernel from
+    an iota: Mosaic cannot block a (1, mp1) array at lane width JB < 128,
+    so the k1 stream is synthesized instead of loaded (padded rows j1 >=
+    mtot get arbitrary values; their outputs are dropped / their
+    coefficients are zero)."""
+    idx = (j * jb
+           + jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1)
+           ).astype(jnp.float32)
+    half = (mtot - 1) // 2
+    if fft_order:
+        return idx - mtot * (idx > half).astype(jnp.float32)
+    return idx - half
+
+
+def _type2_3d_tiled_kernel(x_ref, fre_ref, fim_ref, k_ref, h_ref,
+                           out_ref, *, jb: int, mtot: int,
+                           fft_order: bool):
     jt = pl.program_id(1)
     m = k_ref.shape[-1]
-    jb = k1_ref.shape[-1]
     x = x_ref[...]
     h = h_ref[0]
 
@@ -986,7 +1001,7 @@ def _type2_3d_tiled_kernel(x_ref, fre_ref, fim_ref, k1_ref, k_ref, h_ref,
         cyc = cyc - jnp.round(cyc)
         return _cos_sin_cycles(cyc)
 
-    c1, s1 = cos_sin(0, k1_ref[...])       # (TN, JB)
+    c1, s1 = cos_sin(0, _k1_block(jt, jb, mtot, fft_order))  # (TN, JB)
     c2, s2 = cos_sin(1, k_ref[...])        # (TN, m)
     c3, s3 = cos_sin(2, k_ref[...])
     fre = fre_ref[...]                     # (JB*m, m)
@@ -1030,11 +1045,10 @@ def _pallas_nufft2_3d_tiled(x, f, h, *, mtot, tile, interpret,
     f2 = jnp.zeros((mp1 * m, m), jnp.complex64 if f.dtype == jnp.complex64
                    else f.dtype)
     f2 = f2.at[:m * m, :].set(f.reshape(m * m, m))
-    kv = _k_values(m, fft_order)
-    k1 = jnp.zeros((1, mp1), jnp.float32).at[0, :m].set(kv)
-    kfull = kv.reshape(1, m)
+    kfull = _k_values(m, fft_order).reshape(1, m)
     out = pl.pallas_call(
-        _type2_3d_tiled_kernel,
+        functools.partial(_type2_3d_tiled_kernel, jb=jb, mtot=m,
+                          fft_order=fft_order),
         grid=(ntile, mp1 // jb),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i, j: (i, 0),
@@ -1042,8 +1056,6 @@ def _pallas_nufft2_3d_tiled(x, f, h, *, mtot, tile, interpret,
             pl.BlockSpec((jb * m, m), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((jb * m, m), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, jb), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1054,16 +1066,17 @@ def _pallas_nufft2_3d_tiled(x, f, h, *, mtot, tile, interpret,
         out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
         interpret=interpret,
     )(xp, jnp.real(f2).astype(jnp.float32),
-      jnp.imag(f2).astype(jnp.float32), k1, kfull,
+      jnp.imag(f2).astype(jnp.float32), kfull,
       jnp.asarray([h], jnp.float32))
     return jax.lax.complex(out[:n, 0], out[:n, 1])
 
 
-def _type1_3d_tiled_kernel(x_ref, vre_ref, vim_ref, k1_ref, k_ref, h_ref,
-                           ore_ref, oim_ref):
+def _type1_3d_tiled_kernel(x_ref, vre_ref, vim_ref, k_ref, h_ref,
+                           ore_ref, oim_ref, *, jb: int, mtot: int,
+                           fft_order: bool):
+    jslab = pl.program_id(0)               # first-dim mode slab
     i = pl.program_id(1)                   # reduction axis (points)
     m = k_ref.shape[-1]
-    jb = k1_ref.shape[-1]
     x = x_ref[...]
     h = h_ref[0]
 
@@ -1075,7 +1088,7 @@ def _type1_3d_tiled_kernel(x_ref, vre_ref, vim_ref, k1_ref, k_ref, h_ref,
         co, s = _cos_sin_cycles(cyc)
         return co, -s                      # isign = -1
 
-    c1, s1 = cos_sin(0, k1_ref[...])       # (TN, JB)
+    c1, s1 = cos_sin(0, _k1_block(jslab, jb, mtot, fft_order))  # (TN, JB)
     c2, s2 = cos_sin(1, k_ref[...])        # (TN, m)
     c3, s3 = cos_sin(2, k_ref[...])
     vre = vre_ref[...][:, 0]
@@ -1115,11 +1128,10 @@ def _pallas_nufft1_3d_tiled(x, vals, h, *, mtot, tile, interpret,
         jnp.real(vals).astype(jnp.float32))
     vim = jnp.zeros((npad, 1), jnp.float32).at[:n, 0].set(
         jnp.imag(vals).astype(jnp.float32))
-    kv = _k_values(m, fft_order)
-    k1 = jnp.zeros((1, mp1), jnp.float32).at[0, :m].set(kv)
-    kfull = kv.reshape(1, m)
+    kfull = _k_values(m, fft_order).reshape(1, m)
     ore, oim = pl.pallas_call(
-        _type1_3d_tiled_kernel,
+        functools.partial(_type1_3d_tiled_kernel, jb=jb, mtot=m,
+                          fft_order=fft_order),
         grid=(mp1 // jb, ntile),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda j, i: (i, 0),
@@ -1127,8 +1139,6 @@ def _pallas_nufft1_3d_tiled(x, vals, h, *, mtot, tile, interpret,
             pl.BlockSpec((tile, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, jb), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1143,6 +1153,6 @@ def _pallas_nufft1_3d_tiled(x, vals, h, *, mtot, tile, interpret,
         out_shape=(jax.ShapeDtypeStruct((mp1 * m, m), jnp.float32),
                    jax.ShapeDtypeStruct((mp1 * m, m), jnp.float32)),
         interpret=interpret,
-    )(xp, vre, vim, k1, kfull, jnp.asarray([h], jnp.float32))
+    )(xp, vre, vim, kfull, jnp.asarray([h], jnp.float32))
     out = jax.lax.complex(ore, oim).reshape(mp1, m, m)
     return out[:m]

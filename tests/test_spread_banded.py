@@ -126,3 +126,124 @@ def test_banded_cap_overflow_poisons():
     v = jnp.asarray(rng.normal(size=500), jnp.float32)
     out = np.asarray(banded_nufft1_2d(x, v, 0.31, mtot=11, w=8, cap=64))
     assert np.all(np.isnan(out.real))
+
+
+# ---------------------------------------------------------------------------
+# d = 3 ((x, y)-tiled, dense z)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def setup3d():
+    from gpquad.ops.spread_banded import banded_plan_cap_3d
+    rng = np.random.default_rng(1)
+    n, mtot, h = 1500, 11, 0.29
+    x = jnp.asarray(rng.uniform(-2, 2, (n, 3)))
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    f = jnp.asarray(rng.normal(size=(mtot,) * 3)
+                    + 1j * rng.normal(size=(mtot,) * 3))
+    cap = banded_plan_cap_3d(np.asarray(x), h, mtot, w=8)
+    op = make_nufft(x, h, mtot)
+    return x, v, f, op, mtot, h, cap
+
+
+def test_banded3d_type1_matches_exact(setup3d):
+    from gpquad.ops.spread_banded import banded_nufft1_3d
+    x, v, f, op, mtot, h, cap = setup3d
+    got = np.asarray(banded_nufft1_3d(x, v, h, mtot=mtot, w=8, cap=cap))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_banded3d_type2_matches_exact(setup3d):
+    from gpquad.ops.spread_banded import banded_nufft2_3d
+    x, v, f, op, mtot, h, cap = setup3d
+    got = np.asarray(banded_nufft2_3d(x, f.reshape(-1), h, mtot=mtot, w=8,
+                                      cap=cap))
+    want = np.asarray(op.type2(f))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_banded3d_adjoint(setup3d):
+    """<F* v, f> == <v, F f>: type-1 and type-2 are exact adjoints."""
+    from gpquad.ops.spread_banded import (banded_nufft1_3d,
+                                          banded_nufft2_3d)
+    x, v, f, op, mtot, h, cap = setup3d
+    t1 = banded_nufft1_3d(x, v, h, mtot=mtot, w=8, cap=cap)
+    t2 = banded_nufft2_3d(x, f.reshape(-1), h, mtot=mtot, w=8, cap=cap)
+    lhs = complex(jnp.sum(jnp.conj(t1) * f))
+    rhs = complex(jnp.sum(jnp.conj(v) * t2))
+    assert abs(lhs - rhs) < 1e-6 * abs(lhs)
+
+
+def test_banded3d_facade_and_batch(setup3d):
+    x, v, f, op, mtot, h, cap = setup3d
+    nb = make_nufft(x, h, mtot, method="banded")
+    assert nb.d == 3 and nb.cap == cap
+    got = np.asarray(nb.type1(v))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+    fb = jnp.stack([f.reshape(-1), 2.0 * f.reshape(-1)])
+    got2 = np.asarray(nb.type2(fb))
+    want2 = np.asarray(op.type2(fb))
+    assert np.abs(got2 - want2).max() < 1e-6 * np.abs(want2).max()
+
+
+def test_banded3d_cap_overflow_poisons(setup3d):
+    from gpquad.ops.spread_banded import banded_nufft1_3d
+    x, v, f, op, mtot, h, cap = setup3d
+    out = banded_nufft1_3d(x, v, h, mtot=mtot, w=8, cap=8)
+    assert np.isnan(np.asarray(out).real).any()
+
+
+# ---------------------------------------------------------------------------
+# subproblem-scheduled (adaptive occupancy, static data-free planning)
+# ---------------------------------------------------------------------------
+
+def test_sub_type1_matches_exact(setup):
+    from gpquad.ops.spread_banded import sub_nufft1_2d
+    x, v, f, op, mtot, h, cap = setup
+    got = np.asarray(sub_nufft1_2d(x, v, h, mtot=mtot, w=8, cc=64, sc=8))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub_type2_matches_exact(setup):
+    from gpquad.ops.spread_banded import sub_nufft2_2d
+    x, v, f, op, mtot, h, cap = setup
+    got = np.asarray(sub_nufft2_2d(x, f, h, mtot=mtot, w=8, cc=64, sc=8))
+    want = np.asarray(op.type2(f))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub_clustered_points():
+    """Concentrated data (all points in 4% of the fine grid) — the regime
+    the per-band cap wastes ~25x on; the subproblem path must stay
+    exact."""
+    from gpquad.ops.spread_banded import sub_nufft1_2d, sub_nufft2_2d
+    rng = np.random.default_rng(7)
+    n, mtot, h = 3000, 21, 0.2
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)))    # x*h spans 20% per axis
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    op = make_nufft(x, h, mtot)
+    got = np.asarray(sub_nufft1_2d(x, v, h, mtot=mtot, cc=64, sc=8))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+    f = jnp.asarray(rng.normal(size=(mtot, mtot))
+                    + 1j * rng.normal(size=(mtot, mtot)))
+    got2 = np.asarray(sub_nufft2_2d(x, f, h, mtot=mtot, cc=64, sc=8))
+    want2 = np.asarray(op.type2(f))
+    assert np.abs(got2 - want2).max() < 1e-6 * np.abs(want2).max()
+
+
+def test_sub_single_band_degenerate():
+    """Everything in ONE band (max imbalance): subproblem count collapses
+    to ceil(n/cc) live subproblems and results stay exact."""
+    from gpquad.ops.spread_banded import sub_nufft1_2d
+    rng = np.random.default_rng(8)
+    n, mtot, h = 500, 17, 0.02
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    op = make_nufft(x, h, mtot)
+    got = np.asarray(sub_nufft1_2d(x, v, h, mtot=mtot, cc=32, sc=4))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
