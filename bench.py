@@ -318,9 +318,9 @@ def main():
                     help="d=3 hard-config lengthscale (0.2 -> mtot=21, "
                          "M=9261, forced matrix-free)")
     ap.add_argument("--nufft-method", default="mxu",
-                    choices=["mxu", "pallas", "banded"],
+                    choices=["mxu", "pallas", "banded", "sub"],
                     help="NUFFT backend for the fused pass (banded wins at "
-                         "very large mtot)")
+                         "very large mtot; sub adapts to clustered points)")
     args = ap.parse_args()
 
     import jax

@@ -211,6 +211,10 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     banded spread/interp backend — fastest at very large mtot; its static
     band ``cap`` is planned on the host when ``x`` is concrete, or must be
     passed explicitly (``ops.spread_banded.banded_plan_cap``) under jit.
+    ``method="sub"`` (d=2, symmetric ordering) selects the
+    subproblem-scheduled banded backend: same algebra, but cost adapts to
+    occupancy (best for clustered points) and planning is data-free — no
+    cap needed, works under jit with traced points.
     """
     if x.ndim == 1:
         x = x[:, None]
@@ -236,10 +240,16 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
                 raise ValueError(
                     "banded NUFFT under jit needs a static band cap; plan "
                     "it outside with ops.spread_banded.banded_plan_cap and "
-                    "pass cap=")
+                    "pass cap=, or use method='sub' (data-free planning)")
             cap = plan(x, float(h), mtot)
         cls = BandedNUFFT if x.shape[1] == 2 else BandedNUFFT3D
         return cls(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot, cap=cap)
+    if method == "sub":
+        if x.shape[1] != 2 or fft_order:
+            raise NotImplementedError(
+                "sub NUFFT supports d=2 with symmetric mode ordering")
+        from .spread_banded import SubNUFFT
+        return SubNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
     if method == "spread":
         if x.shape[1] != 2 or fft_order:
             raise NotImplementedError(

@@ -36,7 +36,7 @@ from .spread_nufft import _deconv_factors, _fine_size
 __all__ = ["banded_plan_cap", "banded_nufft1_2d", "banded_nufft2_2d",
            "BandedNUFFT", "banded_plan_cap_3d", "banded_nufft1_3d",
            "banded_nufft2_3d", "BandedNUFFT3D", "sub_nsub_2d",
-           "sub_nufft1_2d", "sub_nufft2_2d"]
+           "sub_nufft1_2d", "sub_nufft2_2d", "SubNUFFT"]
 
 
 def _geometry(mtot: int, w: int):
@@ -787,6 +787,65 @@ class BandedNUFFT:
 
 jax.tree_util.register_dataclass(
     BandedNUFFT, data_fields=["x", "h"], meta_fields=["mtot", "w", "cap"]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SubNUFFT:
+    """Subproblem-scheduled banded NUFFT with the ops/nufft.NUFFT
+    interface (d=2, symmetric mode ordering).
+
+    Same band algebra as :class:`BandedNUFFT` but work is scheduled in
+    fixed ``cc``-point chunks that never cross a band boundary, so cost
+    adapts to occupancy (clustered data pays n/cc, not nbands*cap) and
+    planning is DATA-FREE: the subproblem bound nbands + ceil(n/cc)
+    depends only on static (n, mtot) — no host cap, fully usable under
+    jit with traced points.  Fills FINUFFT's adaptive GPU "subproblem"
+    binning role (reference reaches it through finufft,
+    efgpnd.py:1496-1548)."""
+    x: jnp.ndarray
+    h: jnp.ndarray
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    w: int = dataclasses.field(metadata={"static": True}, default=8)
+    cc: int = dataclasses.field(metadata={"static": True}, default=256)
+    sc: int = dataclasses.field(metadata={"static": True}, default=32)
+
+    @property
+    def d(self) -> int:
+        return 2
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    def type1(self, vals: jnp.ndarray) -> jnp.ndarray:
+        if vals.ndim == 1:
+            return sub_nufft1_2d(self.x, vals, self.h, mtot=self.mtot,
+                                 w=self.w, cc=self.cc, sc=self.sc)
+        flat = vals.reshape((-1, vals.shape[-1]))
+        out = jax.vmap(lambda v: sub_nufft1_2d(
+            self.x, v, self.h, mtot=self.mtot, w=self.w, cc=self.cc,
+            sc=self.sc))(flat)
+        return out.reshape(vals.shape[:-1] + (self.mtot, self.mtot))
+
+    def type2(self, fk: jnp.ndarray) -> jnp.ndarray:
+        M = self.mtot ** 2
+        shape_block = (self.mtot, self.mtot)
+        if fk.shape == (M,) or fk.shape == shape_block:
+            return sub_nufft2_2d(self.x, fk.reshape(-1), self.h,
+                                 mtot=self.mtot, w=self.w, cc=self.cc,
+                                 sc=self.sc)
+        lead = fk.shape[:fk.ndim - 1] if fk.shape[-1] == M else \
+            fk.shape[:fk.ndim - 2]
+        flat = fk.reshape((-1, M))
+        out = jax.vmap(lambda f: sub_nufft2_2d(
+            self.x, f, self.h, mtot=self.mtot, w=self.w, cc=self.cc,
+            sc=self.sc))(flat)
+        return out.reshape(lead + (self.n,))
+
+
+jax.tree_util.register_dataclass(
+    SubNUFFT, data_fields=["x", "h"], meta_fields=["mtot", "w", "cc", "sc"]
 )
 
 

@@ -247,3 +247,46 @@ def test_sub_single_band_degenerate():
     got = np.asarray(sub_nufft1_2d(x, v, h, mtot=mtot, cc=32, sc=4))
     want = np.asarray(op.type1(v))
     assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub_facade_batch_and_traced(setup):
+    """make_nufft(method='sub'): facade parity, batch handling, and the
+    differentiator — construction under jit with TRACED points (banded
+    would demand a static host-planned cap)."""
+    from gpquad.ops.spread_banded import SubNUFFT
+    x, v, f, op, mtot, h, cap = setup
+    ns = make_nufft(x, h, mtot, method="sub")
+    assert isinstance(ns, SubNUFFT) and ns.d == 2
+    got = np.asarray(ns.type1(v))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+    fb = jnp.stack([f.reshape(-1), 3.0 * f.reshape(-1)])
+    got2 = np.asarray(ns.type2(fb))
+    want2 = np.asarray(op.type2(fb))
+    assert np.abs(got2 - want2).max() < 1e-6 * np.abs(want2).max()
+
+    @jax.jit
+    def through_jit(xt, vt):
+        return make_nufft(xt, h, mtot, method="sub").type1(vt)
+
+    got3 = np.asarray(through_jit(x, v))
+    assert np.abs(got3 - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub_fit_end_to_end():
+    """fit_with_grid(nufft_method='sub') agrees with the MXU path."""
+    from gpquad.models.efgp import fit_with_grid, predict_mean
+    from gpquad.kernels import SquaredExponential
+    rng = np.random.default_rng(11)
+    n = 1200
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x[:, 0]))
+                    + 0.1 * rng.normal(size=n))
+    kern = SquaredExponential(lengthscale=jnp.asarray(0.2),
+                              variance=jnp.asarray(1.0), dimension=2)
+    s_mxu = fit_with_grid(x, y, kern, 0.01, 0.12, 17)
+    s_sub = fit_with_grid(x, y, kern, 0.01, 0.12, 17, nufft_method="sub")
+    xn = jnp.asarray(rng.uniform(0, 1, (200, 2)))
+    m1 = np.asarray(predict_mean(s_mxu, xn))
+    m2 = np.asarray(predict_mean(s_sub, xn))
+    assert np.abs(m1 - m2).max() < 1e-6 * max(1.0, np.abs(m1).max())
