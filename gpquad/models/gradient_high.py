@@ -39,7 +39,8 @@ from jax import lax
 
 from ..ops.cg import pcg
 from ..ops.df64 import df_add, df_mul, df_neg, df_sub, df_sum_tree, two_prod
-from ..ops.nufft_df import df_nufft1, split_f64_host
+from ..ops.nufft_df import (df_nufft1, df_nufft1_exact,
+                            split_f64_host)
 from ..ops.operators import make_A_mean, make_jacobi_precond
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from ..ops.toeplitz_df import make_toeplitz_df, toeplitz_df_matvec
@@ -116,7 +117,7 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
     M = mtot ** d
 
     # df64 feature-space ingredients: F*y, F*z_t, lag table
-    Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot, chunk=chunk)
     Fy = ((jnp.real(Fy_hi), jnp.real(Fy_lo)),
           (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
     q0_hi, q0_lo = lax.map(
@@ -124,7 +125,8 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
     q0 = ((jnp.real(q0_hi), jnp.real(q0_lo)),
           (jnp.imag(q0_hi), jnp.imag(q0_lo)))
     ones = jnp.ones((n,), x.dtype)
-    v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1,
+                                 chunk=chunk)
     reshape = (4 * m + 1,) * d
     v_cdf = ((jnp.real(v_hi).reshape(reshape),
               jnp.real(v_lo).reshape(reshape)),

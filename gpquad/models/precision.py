@@ -35,7 +35,8 @@ from ..ops.cg import pcg
 from ..ops.chol import hpd_inverse
 from ..ops.dense_solve import DENSE_SOLVER_MAX_M, dense_lag_gather_indices
 from ..ops.df64 import df_add, df_mul, df_mul_f, df_sub, df_sum_tree
-from ..ops.nufft_df import df_nufft1, df_nufft2_real, split_f64_host
+from ..ops.nufft_df import (df_nufft1_exact, df_nufft2_real,
+                            split_f64_host)
 from ..ops.operators import make_A_mean, make_jacobi_precond
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from ..ops.toeplitz_df import make_toeplitz_df, toeplitz_df_matvec
@@ -112,13 +113,14 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     M = mtot ** d
 
     # rhs b = D F* y in df64
-    Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot, chunk=chunk)
     b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
     b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
 
     # Toeplitz lag table in df64 -> dense df64 operator
     ones = jnp.ones((n,), x.dtype)
-    v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1,
+                                 chunk=chunk)
     idx = jnp.asarray(dense_lag_gather_indices(mtot, d))
     row = (ws_hi[:, None], ws_lo[:, None])
     col = (ws_hi[None, :], ws_lo[None, :])
@@ -237,13 +239,14 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     sig_df = (sig_hi, sig_lo)
 
     # rhs b = D F* y in df64
-    Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot, chunk=chunk)
     b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
     b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
 
     # Toeplitz lag table in df64 -> f32 operator + df64 symbol
     ones = jnp.ones((n,), x.dtype)
-    v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1,
+                                 chunk=chunk)
     reshape = (4 * m + 1,) * d
     v_cdf = ((jnp.real(v_hi).reshape(reshape),
               jnp.real(v_lo).reshape(reshape)),

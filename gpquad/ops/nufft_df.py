@@ -36,8 +36,8 @@ from jax import lax
 from .df64 import (df_add, df_mul, df_sincos_2pi, df_sub, df_sum_tree,
                    quick_two_sum, two_prod, two_sum)
 
-__all__ = ["df_phase_factors", "df_nufft1", "df_nufft2_real",
-           "split_f64_host"]
+__all__ = ["df_phase_factors", "df_nufft1", "df_nufft1_exact",
+           "df_nufft2_real", "cdf_outer_rows", "split_f64_host"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -159,6 +159,97 @@ def df_nufft1(x: jnp.ndarray, vals: jnp.ndarray, h_df, mtot: int, *,
 
     hi, lo = lax.map(per_j, (E1_hi.T, E1_lo.T))      # (mtot, mtot, mtot)
     return hi.reshape(-1), lo.reshape(-1)
+
+
+def cdf_outer_rows(r1, i1, r2, i2):
+    """Tensor product of per-dimension phase rows: ``(s, a) x (s, b) ->
+    (s, a*b)`` complex df64 pairs ((re, im), each a (hi, lo) tuple)."""
+    s = r1[0].shape[0]
+
+    def up(p, axis):
+        idx = (slice(None), slice(None), None) if axis == 2 else (
+            slice(None), None, slice(None))
+        return (p[0][idx], p[1][idx])
+
+    a1, b1 = up(r1, 2), up(i1, 2)
+    a2, b2 = up(r2, 1), up(i2, 1)
+    re = df_sub(df_mul(a1, a2), df_mul(b1, b2))
+    im = df_add(df_mul(a1, b2), df_mul(b1, a2))
+    return (tuple(w.reshape(s, -1) for w in re),
+            tuple(w.reshape(s, -1) for w in im))
+
+
+def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
+                    chunk: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-df64 type-1 (isign=-1): no f32 MXU accumulation anywhere.
+
+    :func:`df_nufft1` reduces each 64-point chunk with a plain f32 matmul
+    and only combines the chunk partials in df64 — the in-chunk random
+    walk leaves the output at ~1e-8..1e-9 relative, which the posterior-
+    variance quadratic form amplifies through ``A^{-1}`` past the 1e-6
+    target (models/variance_high.py).  Here every product AND the
+    point-axis sum run in double-word arithmetic (``df_sum_tree``), so the
+    error is the ~1e-14 df64 roundoff random walk: measured ~1e-13
+    relative on the lag-table build.  All VPU; cost O(n mtot^d) df-flops,
+    used for one-time table builds, not per-iteration applies.
+
+    ``vals`` may be None (unit strengths — the Gram lag table), real, or
+    complex; returns the same flat complex (hi, lo) pair as
+    :func:`df_nufft1`.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    if d > 3:
+        raise NotImplementedError("df64 NUFFT supports d <= 3")
+    rdtype = x.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+    npad = _pad_pow2_chunks(n, chunk)
+    if vals is None:
+        vr = jnp.ones((n,), rdtype)
+        vi = jnp.zeros((n,), rdtype)
+    else:
+        vr = jnp.real(vals).astype(rdtype)
+        vi = (jnp.imag(vals).astype(rdtype)
+              if jnp.iscomplexobj(vals) else jnp.zeros((n,), rdtype))
+    if npad != n:
+        pad = ((0, npad - n),)
+        x = jnp.pad(x, pad + ((0, 0),))
+        vr, vi = jnp.pad(vr, pad), jnp.pad(vi, pad)
+    nc = npad // chunk
+    M = mtot ** d
+
+    def body(acc, args):
+        xc, vrc, vic = args
+        rows_re, rows_im = None, None
+        for dim in range(d):
+            _, cos_df, sin_df = df_phase_factors(xc[:, dim], h_df, mtot,
+                                                 isign=-1)
+            if rows_re is None:
+                rows_re, rows_im = cos_df, sin_df
+            else:
+                rows_re, rows_im = cdf_outer_rows(rows_re, rows_im,
+                                                  cos_df, sin_df)
+        # (a + b i)(c + d i) with plain (vrc, vic): products via two_prod
+        def mul_plain(p, s):
+            h, e = two_prod(p[0], s)
+            return quick_two_sum(h, e + p[1] * s)
+
+        vrb, vib = vrc[:, None], vic[:, None]
+        pr = df_sub(mul_plain(rows_re, vrb), mul_plain(rows_im, vib))
+        pi = df_add(mul_plain(rows_re, vib), mul_plain(rows_im, vrb))
+        sr = df_sum_tree(pr, axis=0)
+        si = df_sum_tree(pi, axis=0)
+        return (df_add(acc[0], sr), df_add(acc[1], si)), None
+
+    zero = jnp.zeros((M,), rdtype)
+    acc0 = ((zero, zero), (zero, zero))
+    (re, im), _ = lax.scan(
+        body, acc0, (x.reshape(nc, chunk, d), vr.reshape(nc, chunk),
+                     vi.reshape(nc, chunk)))
+    hi = lax.complex(re[0], im[0]).astype(cdtype)
+    lo = lax.complex(re[1], im[1]).astype(cdtype)
+    return hi, lo
 
 
 def _cdf_mul(xr, xi, yr, yi):
