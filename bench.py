@@ -451,6 +451,12 @@ def main():
     t_grad_high, gh = timed(gradient_high, x, y, kernel, sigmasq, float(h),
                             int(mtot), probes=(Zp, Vp))
 
+    # df64 posterior variance (models/variance_high.py): oracle-grade
+    # per-target variance, closing the last estimator's 1e-6 loop
+    from gpquad.models.variance_high import variance_high
+    t_var_high, vhigh = timed(variance_high, x, kernel, sigmasq, float(h),
+                              int(mtot), xnew[:512], slab=256)
+
     # headline = the single fused program: f32 pass (mean+var+grad) PLUS
     # the high-precision refit+mean delivering the eps=1e-6 oracle
     # agreement — everything the north star asks for in one dispatch
@@ -471,6 +477,7 @@ def main():
         "var_chebyshev_s": round(t_var_cheb, 4),
         "grad_s": round(t_grad, 4),
         "grad_high_s": round(t_grad_high, 4),
+        "var_high_s": round(t_var_high, 4),
         "compile_s": round(compile_s, 2),
         "mean_cg_iters": int(out.mean_cg_iters),
         "mean_cg_converged": bool(np.asarray(out.mean_converged)),
@@ -529,6 +536,17 @@ def main():
         var_st64 = stochastic_var_f64(obj, etas, xt[:500])
         out_json["max_err_var_stoch_vs_dense_f64"] = round(
             float(np.max(np.abs(np.asarray(var)[:500] - var_st64))), 8)
+        # df64 variance vs the exact f64 'regular' oracle (same formula)
+        from gpquad.utils.f64_oracles import regular_var_f64
+        var_reg64 = regular_var_f64(obj, np.asarray(xnew[:512], np.float64))
+        rel_vh = (np.abs(np.asarray(vhigh, np.float64) - var_reg64)
+                  / np.maximum(var_reg64, 1e-12))
+        out_json["max_rel_err_var_high_vs_dense_f64"] = round(
+            float(np.max(rel_vh)), 9)
+        rel_vch = (np.abs(np.asarray(vc[:512], np.float64) - var_reg64)
+                   / np.maximum(var_reg64, 1e-12))
+        out_json["max_rel_err_var_cheb_vs_dense_f64"] = round(
+            float(np.max(rel_vch)), 8)
 
     if not args.skip_hard:
         out_json.update(hard_config(args, rng))

@@ -18,7 +18,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["efgp_f64_objects", "gradient_f64", "stochastic_var_f64"]
+__all__ = ["efgp_f64_objects", "gradient_f64", "stochastic_var_f64",
+           "regular_var_f64"]
 
 
 def _se_density(ell: float, var: float, d: int, xis: np.ndarray):
@@ -128,3 +129,13 @@ def stochastic_var_f64(obj: Dict, etas: np.ndarray,
     phase = np.exp(2j * np.pi * (np.asarray(x_new, np.float64)
                                  @ (h * K).T))
     return np.real(phase @ est.reshape(-1))
+
+
+def regular_var_f64(obj: Dict, x_new: np.ndarray) -> np.ndarray:
+    """Exact per-target posterior variance in f64 (reference
+    compute_prediction_variance 'regular' mode, efgpnd.py:1805-1820)."""
+    A, ws, sigmasq = obj["A"], obj["ws"], obj["sigmasq"]
+    Ft = np.exp(2j * np.pi * (np.asarray(x_new, np.float64)
+                              @ obj["xis"].T))
+    Z = np.linalg.solve(A / sigmasq, (ws * Ft.conj()).T).T
+    return np.maximum(np.real(np.sum(Ft * (ws * Z), -1)), 0.0)

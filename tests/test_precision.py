@@ -175,6 +175,29 @@ def test_fit_high_dense_guard():
         fit_high(x, y, kernel, 0.1, 0.05, 101, solver="dense")
 
 
+@pytest.mark.parametrize("d", [1, 2])
+def test_variance_high_matches_f64_oracle(rng, d):
+    """df64 posterior variance (models/variance_high.py) vs the dense f64
+    'regular' oracle — the last estimator brought under the 1e-6
+    agreement target (DESIGN.md round-4 roadmap; reference
+    compute_prediction_variance, efgpnd.py:1761-1841 in f64)."""
+    from gpquad.models.variance_high import variance_high
+    from gpquad.utils.f64_oracles import efgp_f64_objects, regular_var_f64
+    n, mtot, h, sigmasq, ell = 2500, 9, 0.31, 0.05, 0.25
+    x32 = rng.uniform(0, 1, (n, d)).astype(np.float32)
+    xt32 = rng.uniform(0.1, 0.9, (70, d)).astype(np.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(ell),
+                                variance=jnp.float32(1.0), dimension=d)
+    obj = efgp_f64_objects(x32, np.zeros(n, np.float32), ell, 1.0, sigmasq,
+                           h, mtot)
+    var64 = regular_var_f64(obj, xt32)
+    vh = variance_high(jnp.asarray(x32), kernel, sigmasq, h, mtot,
+                       jnp.asarray(xt32), slab=70)
+    rel = np.max(np.abs(np.asarray(vh, np.float64) - var64)
+                 / np.maximum(var64, 1e-12))
+    assert rel < 1e-6, rel
+
+
 def test_gradient_high_beats_f32_floor(rng):
     """df64 gradient (models/gradient_high.py) must agree with the
     same-probe dense f64 oracle ~two orders below the f32 estimator's
