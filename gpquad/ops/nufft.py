@@ -211,7 +211,7 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
     banded spread/interp backend — fastest at very large mtot; its static
     band ``cap`` is planned on the host when ``x`` is concrete, or must be
     passed explicitly (``ops.spread_banded.banded_plan_cap``) under jit.
-    ``method="sub"`` (d=2, symmetric ordering) selects the
+    ``method="sub"`` (d in {2, 3}, symmetric ordering) selects the
     subproblem-scheduled banded backend: same algebra, but cost adapts to
     occupancy (best for clustered points) and planning is data-free — no
     cap needed, works under jit with traced points.
@@ -245,11 +245,13 @@ def make_nufft(x: jnp.ndarray, h, mtot: int, *, xcen=None,
         cls = BandedNUFFT if x.shape[1] == 2 else BandedNUFFT3D
         return cls(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot, cap=cap)
     if method == "sub":
-        if x.shape[1] != 2 or fft_order:
+        if x.shape[1] not in (2, 3) or fft_order:
             raise NotImplementedError(
-                "sub NUFFT supports d=2 with symmetric mode ordering")
-        from .spread_banded import SubNUFFT
-        return SubNUFFT(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
+                "sub NUFFT supports d in {2, 3} with symmetric mode "
+                "ordering")
+        from .spread_banded import SubNUFFT, SubNUFFT3D
+        cls = SubNUFFT if x.shape[1] == 2 else SubNUFFT3D
+        return cls(x=x, h=jnp.asarray(h, x.dtype), mtot=mtot)
     if method == "spread":
         if x.shape[1] != 2 or fft_order:
             raise NotImplementedError(

@@ -36,7 +36,8 @@ from .spread_nufft import _deconv_factors, _fine_size
 __all__ = ["banded_plan_cap", "banded_nufft1_2d", "banded_nufft2_2d",
            "BandedNUFFT", "banded_plan_cap_3d", "banded_nufft1_3d",
            "banded_nufft2_3d", "BandedNUFFT3D", "sub_nsub_2d",
-           "sub_nufft1_2d", "sub_nufft2_2d", "SubNUFFT"]
+           "sub_nufft1_2d", "sub_nufft2_2d", "SubNUFFT", "sub_nsub_3d",
+           "sub_nufft1_3d", "sub_nufft2_3d", "SubNUFFT3D"]
 
 
 def _geometry(mtot: int, w: int):
@@ -738,6 +739,204 @@ def banded_nufft2_3d(x, fk, h, *, mtot: int, w: int = 8, cap: int = 256):
     return out * jnp.where(overflow, jnp.nan, 1.0).astype(rdtype)
 
 
+# --------------------------------------------------------------------------
+# d = 3 subproblem scheduling: the d=2 trick over (x, y) TILES
+#
+# Points sort into the (nb x nb) fine-grid tiles of the banded d=3 design
+# and each tile's occupancy splits into fixed cc-point subproblems that
+# never cross a tile boundary — the data-free static bound is
+# ntiles + ceil(n/cc), so clustered data pays ~n/cc MXU contractions, not
+# ntiles * cap, and no host cap planning is needed (works with traced
+# points under jit).  Fills FINUFFT's GPU d=3 "subproblem" binning role
+# (reference reaches it through finufft, efgpnd.py:1496-1548).
+# --------------------------------------------------------------------------
+
+
+def sub_nsub_3d(n: int, mtot: int, w: int = 8, cc: int = 128) -> int:
+    """Static subproblem bound for d=3: ntiles + ceil(n/cc)."""
+    _, _, nb = _geometry(mtot, w)
+    return nb * nb + -(-n // cc)
+
+
+def _plan_zc_3d(nf: int, nb: int, R: int):
+    """Static z-chunk bounding the (ntiles, R*R, zc) slab to ~1.3e8 B."""
+    ntiles = nb * nb
+    zc = max(16, min(nf, (128 << 20) // max(1, ntiles * R * R * 8)))
+    while nf % zc != 0:
+        zc //= 2
+    zc = max(zc, 16) if nf % max(zc, 16) == 0 else zc
+    return zc, nf // zc
+
+
+def _sub_tables_3d(x, h, nf: int, bh: int, nb: int, w: int, cc: int,
+                   nsub_pad: int):
+    """Sort points into (x, y) tiles, split occupancy into cc-point
+    subproblems; returns per-subproblem gather tables."""
+    n = x.shape[0]
+    g, glo = _fine_coords(x, h, nf)
+    r0x = jnp.mod(jnp.ceil(g[:, 0] - 0.5 * w).astype(jnp.int32), nf)
+    r0y = jnp.mod(jnp.ceil(g[:, 1] - 0.5 * w).astype(jnp.int32), nf)
+    tile = (r0x // bh) * nb + (r0y // bh)
+    order = jnp.argsort(tile)
+    starts = jnp.searchsorted(tile[order], jnp.arange(nb * nb + 1),
+                              side="left")
+    sub_tile, sub_off, live = _sub_counts(starts, cc, nsub_pad)
+    offs = sub_off[:, None] + jnp.arange(cc)[None, :]
+    lim = jnp.take(starts[1:], sub_tile)
+    valid = (offs < lim[:, None]) & live[:, None]
+    pidx = jnp.take(order, jnp.where(valid, jnp.clip(offs, 0, n - 1), 0))
+
+    def take(a):
+        return jnp.take(a, pidx)
+
+    gs = tuple(take(g[:, t]) for t in range(3))
+    gls = tuple(take(glo[:, t]) for t in range(3))
+    return pidx, valid, sub_tile, gs, gls, (take(r0x), take(r0y))
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "w", "cc", "sc"))
+def sub_nufft1_3d(x, vals, h, *, mtot: int, w: int = 8, cc: int = 128,
+                  sc: int = 8):
+    """Type-1 (isign=-1) d=3 spread NUFFT, subproblem-scheduled: cost
+    adapts to (x, y)-tile occupancy, all shapes static from (n, mtot)."""
+    beta = 2.30 * w
+    nf, bh, nb = _geometry(mtot, w)
+    R = bh + w - 1
+    m = (mtot - 1) // 2
+    rdtype = x.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+    ntiles = nb * nb
+    nsub = sub_nsub_3d(x.shape[0], mtot, w, cc)
+    nsc = -(-nsub // sc)
+    nsub_pad = nsc * sc
+
+    pidx, valid, sub_tile, gs, gls, r0s = _sub_tables_3d(
+        x, h, nf, bh, nb, w, cc, nsub_pad)
+    vs = jnp.take(vals.astype(cdtype), pidx) * valid.astype(rdtype)
+
+    rho = jnp.arange(R, dtype=rdtype)
+    base_x = ((sub_tile // nb) * bh).astype(rdtype)
+    base_y = ((sub_tile % nb) * bh).astype(rdtype)
+    zc, nzc = _plan_zc_3d(nf, nb, R)
+
+    def chunk(a):
+        return a.reshape(nsc, sc, *a.shape[1:])
+
+    xs = (chunk(gs[0]), chunk(gs[1]), chunk(gs[2]), chunk(gls[0]),
+          chunk(gls[1]), chunk(gls[2]), chunk(r0s[0]), chunk(r0s[1]),
+          chunk(vs), chunk(base_x), chunk(base_y), chunk(sub_tile))
+
+    def z_step(_, z0):
+        zcols = z0 + jnp.arange(zc, dtype=rdtype)
+
+        def step(acc, args):
+            (gxc, gyc, gzc, gxlc, gylc, gzlc, rxc, ryc, vc, bxc, byc,
+             tidc) = args
+            s_xy = _xy_kernel_blocks(gxc, gyc, gxlc, gylc, rxc, ryc,
+                                     bxc, byc, rho, w, beta, rdtype)
+            s_xy = s_xy.reshape(sc, cc, R * R)
+            dz = (gzc[..., None] - zcols[None, None, :]) + gzlc[..., None]
+            dz = dz - nf * jnp.round(dz / nf)
+            s_z = _es_dense(dz, w, beta)             # (sc, cc, zc)
+            sv = s_z.astype(cdtype) * vc[..., None]
+            slab = jnp.einsum("scp,scz->spz", s_xy.astype(cdtype), sv,
+                              precision=jax.lax.Precision.HIGHEST)
+            return acc.at[tidc].add(slab), None
+
+        acc0 = jnp.zeros((ntiles, R * R, zc), cdtype)
+        acc, _ = jax.lax.scan(step, acc0, xs)
+        return None, _fold_xy(acc.reshape(nb, nb, R, R, zc), nb, bh, R,
+                              w, zc)
+
+    _, slices = jax.lax.scan(
+        z_step, None, jnp.arange(nzc, dtype=rdtype) * zc)
+    fine = slices.transpose(1, 2, 0, 3).reshape(nf, nf, nf)
+
+    U = jnp.fft.fftn(fine)
+    kidx = jnp.arange(-m, m + 1) % nf
+    cf = jnp.asarray(_deconv_factors(mtot, nf, w, beta), rdtype)
+    return U[jnp.ix_(kidx, kidx, kidx)] * (
+        cf[:, None, None] * cf[None, :, None] * cf[None, None, :]
+    ).astype(U.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mtot", "w", "cc", "sc"))
+def sub_nufft2_3d(x, fk, h, *, mtot: int, w: int = 8, cc: int = 128,
+                  sc: int = 8):
+    """Type-2 (isign=+1) d=3 subproblem-scheduled interp: exact adjoint
+    of :func:`sub_nufft1_3d`."""
+    beta = 2.30 * w
+    nf, bh, nb = _geometry(mtot, w)
+    R = bh + w - 1
+    m = (mtot - 1) // 2
+    n = x.shape[0]
+    rdtype = x.dtype
+    cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+    nsub = sub_nsub_3d(n, mtot, w, cc)
+    nsc = -(-nsub // sc)
+    nsub_pad = nsc * sc
+
+    f = fk.reshape(mtot, mtot, mtot).astype(cdtype)
+    cf = jnp.asarray(_deconv_factors(mtot, nf, w, beta), rdtype)
+    fd = f * (cf[:, None, None] * cf[None, :, None]
+              * cf[None, None, :]).astype(cdtype)
+    kidx = jnp.arange(-m, m + 1) % nf
+    F = jnp.zeros((nf, nf, nf), cdtype).at[
+        jnp.ix_(kidx, kidx, kidx)].set(fd)
+    u = jnp.fft.ifftn(F) * (nf ** 3)
+
+    pidx, valid, sub_tile, gs, gls, r0s = _sub_tables_3d(
+        x, h, nf, bh, nb, w, cc, nsub_pad)
+
+    rho = jnp.arange(R, dtype=rdtype)
+    base_x = ((sub_tile // nb) * bh).astype(rdtype)
+    base_y = ((sub_tile % nb) * bh).astype(rdtype)
+    rows_x = (((sub_tile // nb) * bh)[:, None]
+              + jnp.arange(R)[None, :]) % nf         # (nsub_pad, R)
+    rows_y = (((sub_tile % nb) * bh)[:, None]
+              + jnp.arange(R)[None, :]) % nf
+    zc, nzc = _plan_zc_3d(nf, nb, R)
+
+    def chunk(a):
+        return a.reshape(nsc, sc, *a.shape[1:])
+
+    xs = (chunk(gs[0]), chunk(gs[1]), chunk(gs[2]), chunk(gls[0]),
+          chunk(gls[1]), chunk(gls[2]), chunk(r0s[0]), chunk(r0s[1]),
+          chunk(base_x), chunk(base_y), chunk(rows_x), chunk(rows_y))
+
+    def z_step(_, z0):
+        zcols = z0.astype(rdtype) + jnp.arange(zc, dtype=rdtype)
+        u_z = jax.lax.dynamic_slice_in_dim(u, z0, zc, axis=2)
+
+        def step(_, args):
+            (gxc, gyc, gzc, gxlc, gylc, gzlc, rxc, ryc, bxc, byc,
+             rwx, rwy) = args
+            a = u_z[rwx]                             # (sc, R, nf, zc)
+            u_t = jnp.take_along_axis(
+                a, rwy[:, None, :, None], axis=2)    # (sc, R, R, zc)
+            u_t = u_t.reshape(sc, R * R, zc)
+            s_xy = _xy_kernel_blocks(gxc, gyc, gxlc, gylc, rxc, ryc,
+                                     bxc, byc, rho, w, beta, rdtype)
+            s_xy = s_xy.reshape(sc, cc, R * R)
+            tband = jnp.einsum("scp,spz->scz", s_xy.astype(cdtype), u_t,
+                               precision=jax.lax.Precision.HIGHEST)
+            dz = (gzc[..., None] - zcols[None, None, :]) + gzlc[..., None]
+            dz = dz - nf * jnp.round(dz / nf)
+            s_z = _es_dense(dz, w, beta)
+            return None, jnp.sum(tband * s_z.astype(cdtype), axis=-1)
+
+        _, oc = jax.lax.scan(step, None, xs)
+        return None, oc                              # (nsc, sc, cc)
+
+    _, parts = jax.lax.scan(z_step, None,
+                            jnp.arange(nzc, dtype=jnp.int32) * zc)
+    out_sorted = jnp.sum(parts, axis=0).reshape(nsub_pad, cc)
+
+    out = jnp.zeros((n,), cdtype)
+    return out.at[pidx.reshape(-1)].add(
+        jnp.where(valid, out_sorted, 0.0).reshape(-1))
+
+
 @dataclasses.dataclass(frozen=True)
 class BandedNUFFT:
     """Banded spread/interp NUFFT with the ops/nufft.NUFFT interface.
@@ -893,4 +1092,56 @@ class BandedNUFFT3D:
 
 jax.tree_util.register_dataclass(
     BandedNUFFT3D, data_fields=["x", "h"], meta_fields=["mtot", "w", "cap"]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SubNUFFT3D:
+    """d=3 subproblem-scheduled banded NUFFT with the ops/nufft.NUFFT
+    interface (symmetric mode ordering).  Data-free static planning:
+    ntiles + ceil(n/cc) subproblems from (n, mtot) alone — no host cap,
+    fully usable under jit with traced points."""
+    x: jnp.ndarray
+    h: jnp.ndarray
+    mtot: int = dataclasses.field(metadata={"static": True}, default=0)
+    w: int = dataclasses.field(metadata={"static": True}, default=8)
+    cc: int = dataclasses.field(metadata={"static": True}, default=128)
+    sc: int = dataclasses.field(metadata={"static": True}, default=8)
+
+    @property
+    def d(self) -> int:
+        return 3
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+    def type1(self, vals: jnp.ndarray) -> jnp.ndarray:
+        if vals.ndim == 1:
+            return sub_nufft1_3d(self.x, vals, self.h, mtot=self.mtot,
+                                 w=self.w, cc=self.cc, sc=self.sc)
+        flat = vals.reshape((-1, vals.shape[-1]))
+        out = jax.vmap(lambda v: sub_nufft1_3d(
+            self.x, v, self.h, mtot=self.mtot, w=self.w, cc=self.cc,
+            sc=self.sc))(flat)
+        return out.reshape(vals.shape[:-1] + (self.mtot,) * 3)
+
+    def type2(self, fk: jnp.ndarray) -> jnp.ndarray:
+        M = self.mtot ** 3
+        shape_block = (self.mtot,) * 3
+        if fk.shape == (M,) or fk.shape == shape_block:
+            return sub_nufft2_3d(self.x, fk.reshape(-1), self.h,
+                                 mtot=self.mtot, w=self.w, cc=self.cc,
+                                 sc=self.sc)
+        lead = fk.shape[:fk.ndim - 1] if fk.shape[-1] == M else \
+            fk.shape[:fk.ndim - 3]
+        flat = fk.reshape((-1, M))
+        out = jax.vmap(lambda f: sub_nufft2_3d(
+            self.x, f, self.h, mtot=self.mtot, w=self.w, cc=self.cc,
+            sc=self.sc))(flat)
+        return out.reshape(lead + (self.n,))
+
+
+jax.tree_util.register_dataclass(
+    SubNUFFT3D, data_fields=["x", "h"], meta_fields=["mtot", "w", "cc", "sc"]
 )

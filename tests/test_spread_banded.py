@@ -290,3 +290,67 @@ def test_sub_fit_end_to_end():
     m1 = np.asarray(predict_mean(s_mxu, xn))
     m2 = np.asarray(predict_mean(s_sub, xn))
     assert np.abs(m1 - m2).max() < 1e-6 * max(1.0, np.abs(m1).max())
+
+
+# ---------------------------------------------------------------------------
+# d = 3 subproblem-scheduled
+# ---------------------------------------------------------------------------
+
+def test_sub3d_type1_matches_exact(setup3d):
+    from gpquad.ops.spread_banded import sub_nufft1_3d
+    x, v, f, op, mtot, h, cap = setup3d
+    got = np.asarray(sub_nufft1_3d(x, v, h, mtot=mtot, w=8, cc=64, sc=4))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub3d_type2_matches_exact(setup3d):
+    from gpquad.ops.spread_banded import sub_nufft2_3d
+    x, v, f, op, mtot, h, cap = setup3d
+    got = np.asarray(sub_nufft2_3d(x, f.reshape(-1), h, mtot=mtot, w=8,
+                                   cc=64, sc=4))
+    want = np.asarray(op.type2(f))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+
+
+def test_sub3d_clustered_points():
+    """Concentrated d=3 data (points in ~3% of the tiles): the regime the
+    static tile cap wastes on; subproblem scheduling must stay exact."""
+    from gpquad.ops.spread_banded import sub_nufft1_3d, sub_nufft2_3d
+    rng = np.random.default_rng(9)
+    n, mtot, h = 2000, 13, 0.15
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)))    # x*h spans 15% per axis
+    v = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    op = make_nufft(x, h, mtot)
+    got = np.asarray(sub_nufft1_3d(x, v, h, mtot=mtot, cc=64, sc=4))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+    f = jnp.asarray(rng.normal(size=(mtot,) * 3)
+                    + 1j * rng.normal(size=(mtot,) * 3))
+    got2 = np.asarray(sub_nufft2_3d(x, f.reshape(-1), h, mtot=mtot,
+                                    cc=64, sc=4))
+    want2 = np.asarray(op.type2(f))
+    assert np.abs(got2 - want2).max() < 1e-6 * np.abs(want2).max()
+
+
+def test_sub3d_facade_batch_and_traced(setup3d):
+    """make_nufft(method='sub') at d=3: facade parity, batching, and
+    construction under jit with traced points (data-free planning)."""
+    from gpquad.ops.spread_banded import SubNUFFT3D
+    x, v, f, op, mtot, h, cap = setup3d
+    ns = make_nufft(x, h, mtot, method="sub")
+    assert isinstance(ns, SubNUFFT3D) and ns.d == 3
+    got = np.asarray(ns.type1(v))
+    want = np.asarray(op.type1(v))
+    assert np.abs(got - want).max() < 1e-6 * np.abs(want).max()
+    fb = jnp.stack([f.reshape(-1), 2.0 * f.reshape(-1)])
+    got2 = np.asarray(ns.type2(fb))
+    want2 = np.asarray(op.type2(fb))
+    assert np.abs(got2 - want2).max() < 1e-6 * np.abs(want2).max()
+
+    @jax.jit
+    def through_jit(xj, vj):
+        return make_nufft(xj, h, mtot, method="sub").type1(vj)
+
+    got3 = np.asarray(through_jit(x, v))
+    assert np.abs(got3 - want).max() < 1e-6 * np.abs(want).max()
