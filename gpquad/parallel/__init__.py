@@ -1,12 +1,14 @@
 """Device-mesh scale-out (data-parallel points, probe-parallel traces,
 pencil-sharded frequency grids)."""
-from .msharded import (make_msharded_A_mean, msharded_fit,
-                       msharded_gradient, msharded_toeplitz_matvec,
-                       shard_toeplitz_kernel)
+from .msharded import (make_msharded_A_mean,
+                       make_msharded_toeplitz_df_apply, msharded_fit,
+                       msharded_fit_high, msharded_gradient,
+                       msharded_toeplitz_matvec, shard_toeplitz_kernel)
 from .sharding import (make_mesh, replicate, shard_points, shard_probes,
                        sharded_fit, sharded_gradient)
 
 __all__ = ["make_mesh", "replicate", "shard_points", "shard_probes",
            "sharded_fit", "sharded_gradient",
            "msharded_toeplitz_matvec", "shard_toeplitz_kernel",
-           "make_msharded_A_mean", "msharded_fit", "msharded_gradient"]
+           "make_msharded_A_mean", "msharded_fit", "msharded_gradient",
+           "make_msharded_toeplitz_df_apply", "msharded_fit_high"]

@@ -223,3 +223,34 @@ def test_msharded_gradient_matches_single_device():
     assert np.allclose(np.asarray(res.grad), np.asarray(ref.grad),
                        rtol=1e-5), (np.asarray(res.grad),
                                     np.asarray(ref.grad))
+
+
+def test_msharded_fit_high_matches_single_device():
+    """M-sharded df64 (the round-2 verdict's 'sharding is f32 only' gap):
+    iterative refinement with BOTH halves distributed — f32 correction
+    CG on the pencil f32 conv, df64 true residuals on the pencil df64
+    conv — must match the single-device matrix-free fit_high to the df64
+    refinement floor."""
+    from gpquad.models.precision import fit_high
+    from gpquad.parallel import msharded_fit_high
+    rng = np.random.default_rng(13)
+    n, mtot, h, sigmasq = 2000, 9, 0.31, 0.05   # lag 17 -> pad 32: /8 ok
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(0.25),
+                                variance=jnp.float32(1.0), dimension=2)
+    # ir_rtol pinned to the df64 floor: at the default 1e-8 early stop the
+    # two solves halt at different residuals and differ by ~kappa * 1e-8
+    ref = fit_high(x, y, kernel, sigmasq, h, mtot, solver="iterative",
+                   ir_passes=8, ir_rtol=1e-12)
+    mesh = make_mesh(8)
+    st, beta_lo = msharded_fit_high(x, y, kernel, sigmasq, h, mtot, mesh,
+                                    ir_passes=8, ir_rtol=1e-12)
+    got = np.asarray(st.beta, np.complex128) + np.asarray(
+        beta_lo, np.complex128)
+    want = np.asarray(ref.state.beta, np.complex128) + np.asarray(
+        ref.beta_lo, np.complex128)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-9 * scale, (
+        np.abs(got - want).max() / scale)
+    assert int(st.mean_cg_iters) > 0
