@@ -539,13 +539,17 @@ def main():
         # df64 variance vs the exact f64 'regular' oracle (same formula)
         from gpquad.utils.f64_oracles import regular_var_f64
         var_reg64 = regular_var_f64(obj, np.asarray(xnew[:512], np.float64))
-        rel_vh = (np.abs(np.asarray(vhigh, np.float64) - var_reg64)
-                  / np.maximum(var_reg64, 1e-12))
+        err_vh = np.abs(np.asarray(vhigh, np.float64) - var_reg64)
+        out_json["max_err_var_high_vs_dense_f64"] = float(
+            f"{np.max(err_vh):.3e}")
         out_json["max_rel_err_var_high_vs_dense_f64"] = round(
-            float(np.max(rel_vh)), 9)
+            float(np.max(err_vh / np.maximum(var_reg64, 1e-12))), 9)
+        # scale-relative for the f32 Chebyshev estimator: its ~2e-5
+        # absolute floor reads as O(1) pointwise-relative where the
+        # posterior variance is near zero
         rel_vch = (np.abs(np.asarray(vc[:512], np.float64) - var_reg64)
-                   / np.maximum(var_reg64, 1e-12))
-        out_json["max_rel_err_var_cheb_vs_dense_f64"] = round(
+                   / var_reg64.max())
+        out_json["scale_rel_err_var_cheb_vs_dense_f64"] = round(
             float(np.max(rel_vch)), 8)
 
     if not args.skip_hard:

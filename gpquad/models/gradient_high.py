@@ -117,7 +117,7 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
     M = mtot ** d
 
     # df64 feature-space ingredients: F*y, F*z_t, lag table
-    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot, chunk=chunk)
+    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot)
     Fy = ((jnp.real(Fy_hi), jnp.real(Fy_lo)),
           (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
     q0_hi, q0_lo = lax.map(
@@ -125,8 +125,7 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
     q0 = ((jnp.real(q0_hi), jnp.real(q0_lo)),
           (jnp.imag(q0_hi), jnp.imag(q0_lo)))
     ones = jnp.ones((n,), x.dtype)
-    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1,
-                                 chunk=chunk)
+    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1)
     reshape = (4 * m + 1,) * d
     v_cdf = ((jnp.real(v_hi).reshape(reshape),
               jnp.real(v_lo).reshape(reshape)),
@@ -242,10 +241,10 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
 
 def gradient_high(x, y, kernel, sigmasq, h, mtot: int, *,
                   trace_samples: int = 10, key=None,
-                  probes: Optional[Tuple] = None, passes: int = 5,
+                  probes: Optional[Tuple] = None, passes: int = 7,
                   chunk: int = 64, ir_tol: float = 1e-2,
                   ir_maxiter: int = 600,
-                  ir_rtol: float = 1e-8) -> GradientHighResult:
+                  ir_rtol: float = 1e-11) -> GradientHighResult:
     """df64 hyper-gradient over (lengthscale, variance, sigmasq).
 
     Same estimator and probe conventions as

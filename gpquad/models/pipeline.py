@@ -139,7 +139,7 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
         solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps)
     hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
                                  sig_hi, sig_lo, mtot=mtot, passes=passes,
-                                 chunk=chunk)
+                                 chunk=chunk, exact_tables=False)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot,
@@ -149,7 +149,7 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
 
 
 def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
-                          passes: int = 8, chunk: int = 64, slab: int = 2048,
+                          passes: int = 8, chunk: int = 8, slab: int = 2048,
                           fuse: bool = True, **kw) -> FusedHighResult:
     """The full north-star workload as ONE compiled program: the fused f32
     pass (mean + stochastic variance + hyper-gradient) plus the df64
@@ -194,7 +194,8 @@ def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                              key, mtot=mtot, **kw)
     hstate, res = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
                                  h_lo, sig_hi, sig_lo, mtot=mtot,
-                                 passes=passes, chunk=chunk)
+                                 passes=passes, chunk=chunk,
+                                 exact_tables=False)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot, d=d,

@@ -84,7 +84,7 @@ def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
     # in-chunk f32 partial matmuls leave a ~1e-8 floor that lands the
     # variance at ~6e-6 relative; the compensated sum takes the table to
     # ~1e-13 and the variance below 1e-7.
-    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1, chunk=chunk)
+    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1)
     reshape = (4 * m + 1,) * d
     v_cdf = ((jnp.real(v_hi).reshape(reshape),
               jnp.real(v_lo).reshape(reshape)),
@@ -132,9 +132,9 @@ def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
 
 
 def variance_high(x, kernel, sigmasq, h, mtot: int, x_new, *,
-                  passes: int = 5, chunk: int = 64, slab: int = 256,
+                  passes: int = 7, chunk: int = 64, slab: int = 256,
                   ir_tol: float = 1e-2, ir_maxiter: int = 600,
-                  ir_rtol: float = 1e-8):
+                  ir_rtol: float = 1e-11):
     """Exact per-target posterior variance at df64 accuracy (~1e-7 vs the
     f64 dense oracle).  ``h``/``sigmasq``/kernel hypers must be concrete
     host-f64 planning values, like fit_high/gradient_high.

@@ -179,8 +179,20 @@ def cdf_outer_rows(r1, i1, r2, i2):
             tuple(w.reshape(s, -1) for w in im))
 
 
+def exact_chunk(mtot: int, d: int) -> int:
+    """Memory-aware point-chunk for :func:`df_nufft1_exact`: the scan body
+    materializes ~8 (chunk, mtot^d) word arrays, so bound them to ~64 MB;
+    large chunks matter because each scan step costs ~40 us of TPU
+    sequencing overhead (3000 steps at chunk=64 added 125 ms to the
+    headline fit)."""
+    M = mtot ** d
+    c = (64 << 20) // max(1, M * 32)
+    c = max(64, min(2048, c))
+    return 1 << (c.bit_length() - 1)          # floor to a power of two
+
+
 def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
-                    chunk: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    chunk: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully-df64 type-1 (isign=-1): no f32 MXU accumulation anywhere.
 
     :func:`df_nufft1` reduces each 64-point chunk with a plain f32 matmul
@@ -195,13 +207,16 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
 
     ``vals`` may be None (unit strengths — the Gram lag table), real, or
     complex; returns the same flat complex (hi, lo) pair as
-    :func:`df_nufft1`.
+    :func:`df_nufft1`.  ``chunk=0`` (default) picks the memory-aware
+    size from :func:`exact_chunk`.
     """
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
     if d > 3:
         raise NotImplementedError("df64 NUFFT supports d <= 3")
+    if chunk <= 0:
+        chunk = exact_chunk(mtot, d)
     rdtype = x.dtype
     cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     npad = _pad_pow2_chunks(n, chunk)

@@ -524,13 +524,12 @@ def msharded_fit_high(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
         sig_df = (sig_hi, sig_lo)
         from jax import lax
 
-        Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot, chunk=chunk)
+        Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot)
         b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
         b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
 
         ones = jnp.ones((n,), x.dtype)
-        v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1,
-                                     chunk=chunk)
+        v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1)
         reshape = (4 * m + 1,) * d
         v_cdf = ((jnp.real(v_hi).reshape(reshape),
                   jnp.real(v_lo).reshape(reshape)),

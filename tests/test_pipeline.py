@@ -84,7 +84,14 @@ def test_fused_high_matches_separate_paths(rng):
                        atol=1e-12)
     assert np.allclose(np.asarray(res.fused.grad), np.asarray(sep.grad),
                        rtol=1e-10)
-    hs = fit_high(x, y, kernel, sigmasq, h, mtot, chunk=64)
+    # the pipeline's speed path builds tables with the chunked-MXU
+    # df_nufft1 (exact_tables=False); mirror that for bit parity
+    hs = fit_high(x, y, kernel, sigmasq, h, mtot, chunk=64,
+                  exact_tables=False)
     mh = predict_mean_high(hs, xnew, slab=256)
     assert np.allclose(np.asarray(res.mean_high), np.asarray(mh), atol=1e-12)
     assert float(res.high_residual) < 1e-6
+    # and the exact-table default stays within the 1e-6 agreement band
+    hse = fit_high(x, y, kernel, sigmasq, h, mtot)
+    mhe = predict_mean_high(hse, xnew, slab=256)
+    assert np.allclose(np.asarray(res.mean_high), np.asarray(mhe), atol=1e-6)
