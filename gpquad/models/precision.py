@@ -125,6 +125,14 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
         Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot)
     else:
         Fy_hi, Fy_lo = df_nufft1(x, y, h_df, mtot, chunk=chunk)
+    # NOTE what makes this compile fast on XLA:CPU is the EVEN padding —
+    # of the per-dim mode axis inside df_nufft1_exact and of the dense
+    # mode space below — not these optimization_barriers: the CPU
+    # pipeline deletes opt-barrier early (verified in HLO dumps; see
+    # df64.hard_materialize for the barrier XLA:CPU does honor).  The
+    # barriers are kept as cheap documentation of the stage seams and
+    # for backends that do respect them.
+    Fy_hi, Fy_lo = lax.optimization_barrier((Fy_hi, Fy_lo))
     b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
     b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
 
@@ -134,15 +142,32 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
         v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1)
     else:
         v_hi, v_lo = df_nufft1(x, ones, h_df, 4 * m + 1, chunk=chunk)
+    v_hi, v_lo = lax.optimization_barrier((v_hi, v_lo))
+    # The dense solve runs in an EVEN-padded mode space Mp = M + (M % 2):
+    # XLA:CPU/LLVM compiles two_sum/two_prod chains with an odd minor dim
+    # pathologically slowly (df64.df_sum_tree), and M = mtot^d is always
+    # odd.  The padded coordinate gets ws = 0 and b = 0, so A_pad =
+    # blockdiag(A, sigma^2) — it decouples exactly, beta_pad = 0, and
+    # P[:M, :M] is still the exact f32 inverse of A.
+    Mp = M + (M % 2)
+    p = Mp - M
+
+    def padv(pair):
+        return tuple(jnp.pad(w, ((0, p),)) for w in pair)
+
+    wsp = padv(ws_df)
+    b_re, b_im = padv(b_re), padv(b_im)
     idx = jnp.asarray(dense_lag_gather_indices(mtot, d))
-    row = (ws_hi[:, None], ws_lo[:, None])
-    col = (ws_hi[None, :], ws_lo[None, :])
+    idx = jnp.pad(idx, ((0, p), (0, p)))
+    row = (wsp[0][:, None], wsp[1][:, None])
+    col = (wsp[0][None, :], wsp[1][None, :])
     T_re = (jnp.real(v_hi)[idx], jnp.real(v_lo)[idx])
     T_im = (jnp.imag(v_hi)[idx], jnp.imag(v_lo)[idx])
     Are = df_mul(df_mul(T_re, row), col)
     Aim = df_mul(df_mul(T_im, row), col)
-    eye = jnp.eye(M, dtype=x.dtype)
+    eye = jnp.eye(Mp, dtype=x.dtype)
     Are = df_add(Are, (sig_hi * eye, sig_lo * eye))
+    Are, Aim = lax.optimization_barrier((Are, Aim))
 
     # f32 inverse of the hi word; IR with df64 residuals
     A_c = lax.complex(Are[0], Aim[0])
@@ -162,6 +187,8 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     ri = df_sub(b_im, Ax_im)
     res = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2 + (ri[0] + ri[1]) ** 2))
     bn = jnp.sqrt(jnp.sum(b_re[0] ** 2 + b_im[0] ** 2))
+    beta = beta[:M]
+    A_c, P = A_c[:M, :M], P[:M, :M]
 
     # f32 companion artifacts so the ordinary predict_var paths work
     reshape = (4 * m + 1,) * d

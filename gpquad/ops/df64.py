@@ -23,13 +23,15 @@ from decimal import Decimal, getcontext
 from functools import lru_cache
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 __all__ = [
     "two_sum", "quick_two_sum", "split", "two_prod",
     "df_add", "df_sub", "df_mul", "df_mul_f", "df_neg", "df_from",
-    "df_sum_tree", "df_sincos_2pi",
+    "df_sum_tree", "df_sincos_2pi", "hard_materialize",
     "cdf_add", "cdf_sub", "cdf_mul", "cdf_from",
 ]
 
@@ -115,43 +117,92 @@ def df_mul_f(x: DF, s) -> DF:
     return quick_two_sum(p, e)
 
 
+def hard_materialize(t):
+    """Force a pytree of arrays into materialized buffers — a fusion
+    barrier that XLA:CPU actually honors.
+
+    ``lax.optimization_barrier`` is deleted early in the XLA:CPU
+    pipeline (it appears in the before_optimizations HLO and is gone
+    after, with producers fused straight through), so it cannot stop
+    the CPU backend from fusing a ``df_sincos_2pi`` polynomial into a
+    downstream two_sum reduction tree — a fused pattern whose LLVM
+    codegen takes minutes for a (256, 13) slab (vs ~0.1 s split).  A
+    while_loop body is a separate HloComputation and fusion never
+    crosses computation boundaries; a data-dependent trip bound keeps
+    WhileLoopSimplifier from proving trip count 1 and inlining it.
+    Cost: one elementwise multiply per tensor per call.  No-op-shaped
+    on TPU too (the production backend compiles these fusions fine but
+    the one-iteration loop is negligible there).
+    """
+    leaves, tree = jax.tree_util.tree_flatten(t)
+    probe = jnp.isfinite(
+        jnp.real(leaves[0]).ravel()[0]).astype(jnp.int32)
+
+    def body(carry):
+        i, vals = carry
+        # data-dependent gain (always 1 at runtime): not hoistable by
+        # loop-invariant code motion, not foldable by AlgSimp
+        g = jnp.where(i < jnp.int32(0), 2.0, 1.0)
+        return i + 1, tuple(v * g.astype(jnp.real(v).dtype)
+                            for v in vals)
+
+    _, out = lax.while_loop(lambda c: c[0] < probe, body,
+                            (jnp.int32(0), tuple(leaves)))
+    return jax.tree_util.tree_unflatten(tree, list(out))
+
+
 def df_sum_tree(x: DF, axis: int = 0) -> DF:
     """Compensated pairwise reduction of a df64 array along ``axis``.
 
     Accumulation error stays ~unit-roundoff-of-df64 regardless of length
     (vs the f32 sqrt(n) random walk this module exists to avoid).
 
-    An ODD trailing (vectorized) dimension is zero-padded to even for the
-    reduction and sliced back: XLA:CPU's LLVM backend takes *minutes* to
-    compile two_sum chains whose minor dim is odd (measured 400 s at
-    (64, 17) vs 0.6 s at (64, 18)) — and every mode count in this library
-    is odd (mtot^d).  Zero pads are exact through two_sum.
+    The reduction runs IN PLACE along ``axis`` — never via a
+    moveaxis-to-front.  XLA:CPU assigns the transposed operand a
+    column-major layout (the transpose becomes a bitcast), so the
+    PHYSICAL minor dim of every two_sum stays the caller's — odd
+    whenever it is a mode axis (mtot^d is always odd) — and LLVM both
+    compiles (minutes vs seconds) and executes (measured 86 s vs 0.1 s
+    at (256, 13)) such chains pathologically; an optimization_barrier
+    does not help because it materializes in the same layout.  Instead:
+    the minor dim is zero-padded to even when some OTHER axis is
+    reduced, and the reduction axis itself is zero-padded to a power of
+    two (zero pads are exact through two_sum: two_sum(x, 0) == (x, 0)),
+    which also removes the odd-leftover concatenate lanes of a general
+    halving.
     """
     hi, lo = x
-    hi = jnp.moveaxis(hi, axis, 0)
-    lo = jnp.moveaxis(lo, axis, 0)
-    trail_pad = hi.ndim >= 2 and hi.shape[-1] % 2 == 1
+    ax = axis % hi.ndim
+    last = hi.ndim - 1
+    trail_pad = hi.ndim >= 2 and ax != last and hi.shape[-1] % 2 == 1
     if trail_pad:
-        widths = [(0, 0)] * (hi.ndim - 1) + [(0, 1)]
+        widths = [(0, 0)] * last + [(0, 1)]
         hi = jnp.pad(hi, widths)
         lo = jnp.pad(lo, widths)
-    n = hi.shape[0]
-    while n > 1:
-        half = n // 2
-        s, e = two_sum(hi[:half], hi[half:2 * half])
-        e = e + (lo[:half] + lo[half:2 * half])
+    n = hi.shape[ax]
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        widths = [(0, 0)] * hi.ndim
+        widths[ax] = (0, p - n)
+        hi = jnp.pad(hi, widths)
+        lo = jnp.pad(lo, widths)
+    from jax import lax as _lax
+    while p > 1:
+        half = p // 2
+        s, e = two_sum(_lax.slice_in_dim(hi, 0, half, axis=ax),
+                       _lax.slice_in_dim(hi, half, p, axis=ax))
+        e = e + (_lax.slice_in_dim(lo, 0, half, axis=ax)
+                 + _lax.slice_in_dim(lo, half, p, axis=ax))
         s, e = quick_two_sum(s, e)
-        if n % 2:
-            s0, e0 = two_sum(s[:1], hi[n - 1:n])
-            e0 = e0 + (e[:1] + lo[n - 1:n])
-            s0, e0 = quick_two_sum(s0, e0)
-            s = jnp.concatenate([s0, s[1:]], axis=0)
-            e = jnp.concatenate([e0, e[1:]], axis=0)
         hi, lo = s, e
-        n = half
+        p = half
+    hi = _lax.squeeze(hi, (ax,))
+    lo = _lax.squeeze(lo, (ax,))
     if trail_pad:
-        return hi[0][..., :-1], lo[0][..., :-1]
-    return hi[0], lo[0]
+        return hi[..., :-1], lo[..., :-1]
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .df64 import (df_add, df_mul, df_sincos_2pi, df_sub, df_sum_tree,
-                   quick_two_sum, two_prod, two_sum)
+                   hard_materialize, quick_two_sum, two_prod, two_sum)
 
 __all__ = ["df_phase_factors", "df_nufft1", "df_nufft1_exact",
            "df_nufft2_real", "cdf_outer_rows", "split_f64_host"]
@@ -232,7 +232,17 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
         x = jnp.pad(x, pad + ((0, 0),))
         vr, vi = jnp.pad(vr, pad), jnp.pad(vi, pad)
     nc = npad // chunk
-    M = mtot ** d
+    # the mode axis is padded to EVEN per dim: XLA:CPU/LLVM compiles
+    # two_sum/two_prod chains with an odd minor (vectorized) dim ~400x
+    # slower (see df64.df_sum_tree), and mtot is always odd here — all
+    # df arithmetic below runs at mp per dim, sliced back at the end
+    mp = mtot + (mtot % 2)
+    M = mp ** d
+
+    def pad_dim(p):
+        if mp == mtot:
+            return p
+        return tuple(jnp.pad(w, ((0, 0), (0, 1))) for w in p)
 
     def body(acc, args):
         xc, vrc, vic = args
@@ -240,6 +250,7 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
         for dim in range(d):
             _, cos_df, sin_df = df_phase_factors(xc[:, dim], h_df, mtot,
                                                  isign=-1)
+            cos_df, sin_df = pad_dim(cos_df), pad_dim(sin_df)
             if rows_re is None:
                 rows_re, rows_im = cos_df, sin_df
             else:
@@ -262,6 +273,10 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
     (re, im), _ = lax.scan(
         body, acc0, (x.reshape(nc, chunk, d), vr.reshape(nc, chunk),
                      vi.reshape(nc, chunk)))
+    if mp != mtot:
+        sl = tuple([slice(0, mtot)] * d)
+        re = tuple(w.reshape((mp,) * d)[sl].reshape(-1) for w in re)
+        im = tuple(w.reshape((mp,) * d)[sl].reshape(-1) for w in im)
     hi = lax.complex(re[0], im[0]).astype(cdtype)
     lo = lax.complex(re[1], im[1]).astype(cdtype)
     return hi, lo
@@ -299,16 +314,25 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
     ci = (c_im[0].reshape(shape), c_im[1].reshape(shape))
 
     def one_slab(xs):
+        # hard_materialize at the phase/contraction seams: XLA:CPU
+        # deletes lax.optimization_barrier early and fuses the
+        # df_sincos_2pi polynomial into the two_sum reduction trees, a
+        # pattern whose LLVM codegen takes minutes per slab (measured
+        # 96 s at (256, 13, 13) vs ~0.3 s split); see
+        # df64.hard_materialize.
         _, cos1, sin1 = df_phase_factors(xs[:, 0], h_df, mtot, isign=+1)
+        cos1, sin1 = hard_materialize((cos1, sin1))
         if d == 1:
             tr, ti = _cdf_mul((cr[0][None, :], cr[1][None, :]),
                               (ci[0][None, :], ci[1][None, :]),
                               cos1_b(cos1), sin1_b(sin1))
             return df_sum_tree(tr, axis=-1)
         _, cos2, sin2 = df_phase_factors(xs[:, 1], h_df, mtot, isign=+1)
+        cos2, sin2 = hard_materialize((cos2, sin2))
         if d == 3:
             _, cos3, sin3 = df_phase_factors(xs[:, 2], h_df, mtot,
                                              isign=+1)
+            cos3, sin3 = hard_materialize((cos3, sin3))
             # stage 0: contract modes l (last axis) against dim-3 phases
             c3r = (cos3[0][:, None, None, :], cos3[1][:, None, None, :])
             c3i = (sin3[0][:, None, None, :], sin3[1][:, None, None, :])
@@ -316,11 +340,13 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
                               (ci[0][None], ci[1][None]), c3r, c3i)
             tr = df_sum_tree(tr, axis=-1)       # (s, m, m) df
             ti = df_sum_tree(ti, axis=-1)
+            tr, ti = hard_materialize((tr, ti))
             c2r = (cos2[0][:, None, :], cos2[1][:, None, :])
             c2i = (sin2[0][:, None, :], sin2[1][:, None, :])
             tr, ti = _cdf_mul(tr, ti, c2r, c2i)
             tr = df_sum_tree(tr, axis=-1)       # (s, m) df
             ti = df_sum_tree(ti, axis=-1)
+            tr, ti = hard_materialize((tr, ti))
             rr, _ = _cdf_mul(tr, ti, cos1, sin1)
             return df_sum_tree(rr, axis=-1)
         # stage 1: contract modes k (last axis) against dim-2 phases
@@ -331,6 +357,7 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
                           c2r, c2i)
         tr = df_sum_tree(tr, axis=-1)           # (s, mtot) df
         ti = df_sum_tree(ti, axis=-1)
+        tr, ti = hard_materialize((tr, ti))
         # stage 2: contract modes j against dim-1 phases; real part only
         rr, _ = _cdf_mul(tr, ti, cos1, sin1)
         return df_sum_tree(rr, axis=-1)         # (s,) df
