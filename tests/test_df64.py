@@ -102,3 +102,38 @@ def test_df_nufft2_real_vs_f64_oracle(rng, d):
     F = np.exp(2j * np.pi * _f64(x) @ (h * K).T)
     ref = np.real(F @ (_f64(cr) + 1j * _f64(ci)))
     assert np.max(np.abs(got - ref)) < 1e-10 * np.max(np.abs(ref))
+
+
+def test_df_sum_tree_axis_variants(rng):
+    """In-place (no-moveaxis) reduction must match numpy f64 along every
+    axis, including odd lengths and odd minor dims (the XLA:CPU layout
+    pathology df_sum_tree is designed around)."""
+    a = jnp.asarray(rng.uniform(-1, 1, (37, 13, 21)), jnp.float32)
+    ref = _f64(a)
+    for ax in (0, 1, 2, -1, -2):
+        got = _val(df_sum_tree((a, jnp.zeros_like(a)), axis=ax))
+        np.testing.assert_allclose(got, np.sum(ref, axis=ax), rtol=0,
+                                   atol=1e-11)
+
+
+def test_df_sum_tree_length_one_and_two(rng):
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 4)), jnp.float32)
+    got = _val(df_sum_tree((a, jnp.zeros_like(a)), axis=0))
+    np.testing.assert_allclose(got, _f64(a)[0], rtol=0, atol=0)
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 5)), jnp.float32)
+    got = _val(df_sum_tree((b, jnp.zeros_like(b)), axis=0))
+    np.testing.assert_allclose(got, _f64(b).sum(0), rtol=0, atol=1e-12)
+
+
+def test_hard_materialize_identity(rng):
+    """hard_materialize is numerically the identity (values pass through
+    a data-dependent while_loop unchanged), eager and under jit."""
+    from gpquad.ops.df64 import hard_materialize
+    a = jnp.asarray(rng.uniform(-1, 1, (7, 13)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+    oa, ob = hard_materialize((a, b))
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(b))
+    oa, ob = jax.jit(lambda t: hard_materialize(t))((a, b))
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(b))
