@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.df64 import df_add, df_mul, df_sum_tree
+from ..ops.df64 import df_add, df_mul, df_sum_tree, hard_materialize
 from ..ops.nufft_df import (cdf_outer_rows, df_nufft1_exact,
                             df_phase_factors, split_f64_host)
 from ..ops.operators import make_A_mean, make_jacobi_precond
@@ -59,6 +59,11 @@ def _conj_rows_df(xs, h_df, mtot: int, d: int):
     for dim in range(d):
         _, cos_df, sin_df = df_phase_factors(xs[:, dim], h_df, mtot,
                                              isign=-1)
+        # hard_materialize: stop XLA:CPU fusing the sincos polynomial
+        # into the downstream quadratic form's two_sum reduction (the
+        # pathological pattern documented at df64.hard_materialize;
+        # measured 6.5 s -> sub-second warm for a 200-target slab)
+        cos_df, sin_df = hard_materialize((cos_df, sin_df))
         if g_re is None:
             g_re, g_im = cos_df, sin_df
         else:
