@@ -294,7 +294,7 @@ def df_nufft2_real(x_new: jnp.ndarray, c_re, c_im, h_df, mtot: int, *,
     """df64-accurate real part of the type-2 apply ``Re(F c)`` at targets.
 
     ``c_re``/``c_im``: df64 pairs of the (mtot,)*d mode coefficients.
-    Fully elementwise df64 (exact products), slabbed over targets. d <= 2.
+    Fully elementwise df64 (exact products), slabbed over targets. d <= 3.
     """
     if x_new.ndim == 1:
         x_new = x_new[:, None]
