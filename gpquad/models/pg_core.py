@@ -285,8 +285,11 @@ def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
     carry = (delta0, jnp.zeros((n,), rdtype), jnp.zeros((n,), rdtype),
              jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, rdtype),
              jnp.asarray(0, jnp.int32))
-    for it in range(max_iters):   # e_step_iters is small (default 1)
-        carry = step(carry, it)
+    # lax.scan keeps the program size CONSTANT in e_step_iters (a Python
+    # loop would inline one CG + NUFFT pipeline per iteration); the
+    # early-stop cond inside `step` skips converged iterations at runtime
+    carry, _ = jax.lax.scan(lambda c, it: (step(c, it), None), carry,
+                            jnp.arange(max_iters))
     delta, mean, sigma_diag, iters, residual, used = carry
     return EstepResult(delta=delta, mean=mean, sigma_diag=sigma_diag,
                        residual=residual, cg_iters=iters, iters_used=used)
