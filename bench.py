@@ -321,9 +321,15 @@ def main():
                     choices=["mxu", "pallas", "banded", "sub"],
                     help="NUFFT backend for the fused pass (banded wins at "
                          "very large mtot; sub adapts to clustered points)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke-test the bench code path on the CPU "
+                         "backend (pass small --n/--targets/--probes; "
+                         "timings are not comparable)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:  # persistent compile cache cuts reruns' cold start
         jax.config.update("jax_compilation_cache_dir", "/tmp/gpquad_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
