@@ -130,10 +130,15 @@ def hard_materialize(t):
     while_loop body is a separate HloComputation and fusion never
     crosses computation boundaries; a data-dependent trip bound keeps
     WhileLoopSimplifier from proving trip count 1 and inlining it.
-    Cost: one elementwise multiply per tensor per call.  No-op-shaped
-    on TPU too (the production backend compiles these fusions fine but
-    the one-iteration loop is negligible there).
+    Cost: one elementwise multiply per tensor per call.  On any backend
+    other than CPU this returns ``t`` untouched: XLA:TPU compiles and
+    runs the fused df64 forms fine (bench-proven), so the barrier is
+    pure CPU medicine and TPU programs stay identical to the measured
+    ones.  ``jax.default_backend()`` is resolved at trace time, so each
+    backend's jit cache gets its own specialization.
     """
+    if jax.default_backend() != "cpu":
+        return t
     leaves, tree = jax.tree_util.tree_flatten(t)
     probe = jnp.isfinite(
         jnp.real(leaves[0]).ravel()[0]).astype(jnp.int32)
