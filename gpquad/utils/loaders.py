@@ -27,6 +27,7 @@ __all__ = [
     "data_dir", "load_era5", "load_oisst", "load_oisst_grid",
     "load_prism_dataset", "load_prism", "load_roads", "load_taxi",
     "load_co2", "load_synthetic_gp", "load_usa_temp",
+    "load_spatial_transcriptomics",
 ]
 
 
@@ -301,3 +302,36 @@ def load_usa_temp(path=None, standardize=True):
         x = (x - x.min(axis=0)) / (x.max(axis=0) - x.min(axis=0))
         y = (y - y.mean()) / y.std()
     return x, y
+
+
+# ---------------------------------------------------------------------------
+def load_spatial_transcriptomics(n_sub=None, seed=0, threshold=1e-3,
+                                 path=None):
+    """Spatial transcriptomics (Slc17a7 expression): (n, 2) spot
+    coordinates in [-1, 1]^2 + binary labels ``expression > threshold``
+    (~21% positive at the reference's 0.001 cut) — the REAL dataset the
+    reference's PG classifier demo runs on (reference
+    polyagamma_classification/PG_GP_classification.ipynb cell 3: loads
+    ``x.pt`` / ``y_slc17a7.pt``, binarizes at >0.001).
+
+    Returns ``(x, y)`` with y in {0., 1.}.  Looks for ``x.pt`` and
+    ``y_slc17a7.pt`` in ``$GPQUAD_DATA_DIR``, ``./data``, then the
+    mounted reference checkout.
+    """
+    roots = ([Path(path)] if path is not None else [
+        data_dir(),
+        Path(__file__).resolve().parents[2] / "data",
+        Path("/root/reference"),
+    ])
+    root = next((r for r in roots if (r / "x.pt").exists()
+                 and (r / "y_slc17a7.pt").exists()), None)
+    if root is None:
+        raise FileNotFoundError(
+            f"x.pt / y_slc17a7.pt not found in {[str(r) for r in roots]}")
+    import torch
+    x = np.asarray(torch.load(root / "x.pt", map_location="cpu",
+                              weights_only=False), np.float64)
+    expr = np.asarray(torch.load(root / "y_slc17a7.pt", map_location="cpu",
+                                 weights_only=False), np.float64)
+    y = (expr > threshold).astype(np.float64)
+    return _subsample(x, y, n_sub, seed)
