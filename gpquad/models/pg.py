@@ -106,6 +106,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                  use_exact_weighted_toeplitz_operator=True, device=None,
                  reuse_e_probes=True,
                  prediction_batch_size=64,
+                 prediction_solver="auto",
                  predictive_variance_method="exact",
                  predictive_variance_probes=16,
                  predictive_variance_chebyshev_nodes=7, warm_start=False,
@@ -140,6 +141,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self.jitter = jitter
         self.reuse_e_probes = reuse_e_probes
         self.prediction_batch_size = prediction_batch_size
+        self.prediction_solver = prediction_solver
         self.predictive_variance_method = predictive_variance_method
         self.predictive_variance_probes = predictive_variance_probes
         self.predictive_variance_chebyshev_nodes = \
@@ -358,6 +360,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self._likelihood_ = likelihood
         self._beta_mean_t_ = beta_mean
         self._est_sums_ = None
+        self._dense_system_ = None
 
         self.delta_ = np.asarray(self._delta_t_)[:n_valid]
         self.posterior_mean_ = np.asarray(eres.mean)[:n_valid]
@@ -401,10 +404,32 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                 "'stochastic', 'stochastic_diag_sums', 'chebyshev'}.")
         return "stochastic" if m == "stochastic_diag_sums" else m
 
+    def _resolved_prediction_solver(self, M: int) -> str:
+        s = str(self.prediction_solver).lower()
+        if s not in {"auto", "dense", "cg"}:
+            raise ValueError(
+                "prediction_solver must be one of {'auto', 'dense', 'cg'}.")
+        if s == "auto":
+            return "dense" if M <= core.DENSE_SOLVER_MAX_M else "cg"
+        return s
+
+    def _get_dense_system(self):
+        """Lazily build + cache the (A, inv(A), Ds) prediction system —
+        ``delta`` is frozen after fit, so ONE factorization serves every
+        subsequent predict/variance call."""
+        if getattr(self, "_dense_system_", None) is None:
+            self._dense_system_ = core.dense_feature_system(
+                self._spectral_state_, self._X_train_t_, self._delta_t_)
+        return self._dense_system_
+
     def _variance_off_train(self, X_t):
         method = self._variance_method()
         sp = self._spectral_state_
         if method == "exact":
+            if self._resolved_prediction_solver(sp.M) == "dense":
+                return core.predictive_variance_exact_dense(
+                    sp, self._X_train_t_, self._delta_t_, X_t,
+                    system=self._get_dense_system())
             return core.predictive_variance_exact_batched(
                 sp, self._X_train_t_, self._delta_t_, X_t,
                 batch_size=self.prediction_batch_size, cg_tol=self.cg_tol)
@@ -419,10 +444,13 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                     sp, self._X_train_t_, self._delta_t_, etas,
                     cg_tol=self.cg_tol)
             return core.evaluate_variance_sums(sp, self._est_sums_, X_t)
+        solver = self._resolved_prediction_solver(sp.M)
         return core.predictive_variance_chebyshev(
             sp, self._X_train_t_, self._delta_t_, X_t,
             n_nodes_per_dim=self.predictive_variance_chebyshev_nodes,
-            cg_tol=self.cg_tol, batch_size=self.prediction_batch_size)
+            cg_tol=self.cg_tol, batch_size=self.prediction_batch_size,
+            solver=solver,
+            system=self._get_dense_system() if solver == "dense" else None)
 
     def decision_function(self, X):
         """Posterior mean on training inputs; predictive mean elsewhere

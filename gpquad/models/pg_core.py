@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cg import pcg
+from ..ops.dense_solve import (DENSE_SOLVER_MAX_M, dense_inverse,
+                               dense_toeplitz, refine_solve)
 from ..ops.nufft import NUFFT, make_nufft
 from ..ops.operators import convolution_vector
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
@@ -44,6 +46,7 @@ __all__ = [
     "outer_step", "OuterStepResult",
     "predictive_mean", "predictive_variance_exact",
     "predictive_variance_exact_batched",
+    "dense_feature_system", "predictive_variance_exact_dense",
     "stochastic_variance_sums", "evaluate_variance_sums",
     "chebyshev_lobatto_nodes", "barycentric_matrix",
     "predictive_variance_chebyshev",
@@ -372,17 +375,20 @@ def predictive_mean(spectral: PGSpectralState, x_new, beta_mean):
                     .reshape((spectral.mtot,) * spectral.d)).real
 
 
+@partial(jax.jit, static_argnames=("mtot",))
+def _build_weighted_toeplitz(x, h, mtot: int, delta) -> ToeplitzND:
+    """Jitted ``F* diag(delta) F`` builder (the whole build must sit inside
+    jit: axon cannot materialize eager complex constants)."""
+    return weighted_toeplitz_from_points(x, h, mtot, delta,
+                                         cdtype=delta.dtype)
+
+
 @partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
-def predictive_variance_exact(spectral: PGSpectralState, x, delta, x_new, *,
-                              cg_tol: float, max_cg_iter: int = 2000):
-    """Exact per-target latent variance: phi^H ws2 A^{-1} phi with the
-    symmetrized solver (reference _predictive_latent_moments,
-    pg_classifier.py:671-739)."""
-    if x_new.ndim == 1:
-        x_new = x_new[:, None]
-    cdtype = spectral.ws.dtype
-    wtoe = weighted_toeplitz_from_points(x, spectral.h, spectral.mtot,
-                                         delta.astype(cdtype), cdtype=cdtype)
+def _variance_exact_from_op(spectral: PGSpectralState, wtoe: ToeplitzND,
+                            x_new, *, cg_tol: float, max_cg_iter: int = 2000):
+    """Exact per-target latent variance against a PREBUILT weighted Toeplitz
+    operator: phi^H ws2 A^{-1} phi with the symmetrized solver (reference
+    _predictive_latent_moments, pg_classifier.py:671-739)."""
     solve = _feature_solver(spectral, wtoe, cg_tol=cg_tol,
                             max_cg_iter=max_cg_iter)
     from .efgp import posterior_fourier_rows
@@ -394,6 +400,100 @@ def predictive_variance_exact(spectral: PGSpectralState, x, delta, x_new, *,
                          axis=1)), 0.0)
 
 
+def predictive_variance_exact(spectral: PGSpectralState, x, delta, x_new, *,
+                              cg_tol: float, max_cg_iter: int = 2000):
+    """Exact per-target latent variance: phi^H ws2 A^{-1} phi with the
+    symmetrized solver (reference _predictive_latent_moments,
+    pg_classifier.py:671-739)."""
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    cdtype = spectral.ws.dtype
+    wtoe = _build_weighted_toeplitz(x, spectral.h, spectral.mtot,
+                                    delta.astype(cdtype))
+    return _variance_exact_from_op(spectral, wtoe, x_new, cg_tol=cg_tol,
+                                   max_cg_iter=max_cg_iter)
+
+
+@jax.jit
+def dense_feature_system(spectral: PGSpectralState, x, delta):
+    """Materialize + invert the symmetrized feature-space system
+    ``A = I + Ds (F* diag(delta) F) Ds`` (M x M, ``Ds = sqrt(ws2)``
+    floored) ONCE for a fixed posterior ``delta``.
+
+    TPU-first replacement for per-chunk CG at prediction time: the PG
+    grid is small by construction (M = mtot^d), the system is shared by
+    every prediction target, and a dense inverse + iterative refinement
+    answers each batch of targets with two matmuls (same rationale as
+    ops/dense_solve.py; the reference instead re-runs CG per batch,
+    pg_classifier.py:671-739).  Only valid for
+    ``spectral.M <= DENSE_SOLVER_MAX_M``.
+
+    Returns ``(A, P, Ds)`` with ``P ~ inv(A)``.
+    """
+    cdtype = spectral.ws.dtype
+    op = make_nufft(x, spectral.h, 2 * spectral.mtot - 1, cdtype=cdtype)
+    v = op.type1(delta.astype(cdtype))
+    Tw = dense_toeplitz(v, spectral.mtot, spectral.d)
+    D2 = jnp.real(spectral.ws2)
+    eps_d = jnp.maximum(jnp.mean(D2) * 1e-14, 1e-14)
+    Ds = jnp.sqrt(jnp.maximum(D2, eps_d)).astype(cdtype)
+    A = Ds[:, None] * Tw * Ds[None, :] + jnp.eye(Tw.shape[0], dtype=cdtype)
+    return A, dense_inverse(A), Ds
+
+
+@partial(jax.jit, static_argnames=("passes",))
+def _variance_exact_dense_apply(spectral: PGSpectralState, A, P, Ds, x_new,
+                                *, passes: int = 2):
+    """phi^H ws2 A^{-1} phi for one target batch against the prebuilt
+    dense system (same algebra as :func:`_variance_exact_from_op`)."""
+    from .efgp import posterior_fourier_rows
+    phi = jnp.conj(posterior_fourier_rows(x_new, spectral.h, spectral.mtot,
+                                          spectral.d))
+    res = refine_solve(A, P, Ds[None, :] * phi, passes=passes, check=False)
+    beta = res.x / Ds[None, :]
+    return jnp.maximum(
+        jnp.real(jnp.sum(jnp.conj(phi) * (spectral.ws2[None, :] * beta),
+                         axis=1)), 0.0)
+
+
+def predictive_variance_exact_dense(spectral: PGSpectralState, x, delta,
+                                    x_new, *, batch_size=None,
+                                    system=None, passes=None):
+    """Exact variance for all targets via ONE dense factorization.
+
+    ``system``: optional prebuilt ``(A, P, Ds)`` from
+    :func:`dense_feature_system` (lets estimators cache it across
+    predict calls — ``delta`` is frozen after fit).  ``batch_size``
+    bounds the (B, M) row-batch memory; dense batches can be much larger
+    than CG ones (default: min(4096, n_new)).  ``passes`` defaults
+    dtype-aware: 1 IR pass in complex128 (the inverse is already at the
+    f64 floor), 2 in complex64.
+    """
+    if spectral.M > DENSE_SOLVER_MAX_M:
+        raise ValueError(
+            f"dense prediction solver needs M <= {DENSE_SOLVER_MAX_M}; "
+            f"got M = {spectral.M}. Use solver='cg'.")
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    A, P, Ds = (dense_feature_system(spectral, x, delta)
+                if system is None else system)
+    if passes is None:
+        passes = 1 if A.dtype == jnp.complex128 else 2
+    n_new = x_new.shape[0]
+    b = min(4096, n_new) if batch_size is None else int(batch_size)
+    if n_new <= b:
+        return _variance_exact_dense_apply(spectral, A, P, Ds, x_new,
+                                           passes=passes)
+    pad = (-n_new) % b
+    xp = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1], (pad,
+                                                              x_new.shape[1]))]
+                         ) if pad else x_new
+    chunks = [_variance_exact_dense_apply(
+        spectral, A, P, Ds, jax.lax.dynamic_slice_in_dim(xp, s, b),
+        passes=passes) for s in range(0, n_new + pad, b)]
+    return jnp.concatenate(chunks)[:n_new]
+
+
 def predictive_variance_exact_batched(spectral: PGSpectralState, x, delta,
                                       x_new, *, batch_size, cg_tol: float,
                                       max_cg_iter: int = 2000):
@@ -402,7 +502,10 @@ def predictive_variance_exact_batched(spectral: PGSpectralState, x, delta,
     _predictive_latent_moments batching, pg_classifier.py:1087,1168).
 
     Every chunk is padded to exactly ``batch_size`` rows so the jitted
-    exact kernel compiles once regardless of the target count.
+    exact kernel compiles once regardless of the target count, and the
+    weighted Toeplitz operator — one type-1 NUFFT over ALL n training
+    points — is built ONCE and shared by every chunk (it depends only on
+    the training data, not the targets).
     """
     if x_new.ndim == 1:
         x_new = x_new[:, None]
@@ -411,15 +514,18 @@ def predictive_variance_exact_batched(spectral: PGSpectralState, x, delta,
         return predictive_variance_exact(spectral, x, delta, x_new,
                                          cg_tol=cg_tol,
                                          max_cg_iter=max_cg_iter)
+    cdtype = spectral.ws.dtype
+    wtoe = _build_weighted_toeplitz(x, spectral.h, spectral.mtot,
+                                    delta.astype(cdtype))
     b = int(batch_size)
     pad = (-n_new) % b
     xp = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1], (pad,
                                                               x_new.shape[1]))]
                          ) if pad else x_new
-    chunks = [predictive_variance_exact(spectral, x, delta,
-                                        jax.lax.dynamic_slice_in_dim(xp, s, b),
-                                        cg_tol=cg_tol,
-                                        max_cg_iter=max_cg_iter)
+    chunks = [_variance_exact_from_op(spectral, wtoe,
+                                      jax.lax.dynamic_slice_in_dim(xp, s, b),
+                                      cg_tol=cg_tol,
+                                      max_cg_iter=max_cg_iter)
               for s in range(0, n_new + pad, b)]
     return jnp.concatenate(chunks)[:n_new]
 
@@ -506,7 +612,8 @@ def barycentric_matrix(nodes, weights, targets, *, atol: float = 1e-14):
 def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
                                   x_new, *, n_nodes_per_dim: int,
                                   cg_tol: float, max_cg_iter: int = 2000,
-                                  batch_size=None):
+                                  batch_size=None, solver: str = "cg",
+                                  system=None):
     """Variance on a Chebyshev-Lobatto tensor grid, barycentric-interpolated
     to targets (reference _predictive_variance_chebyshev,
     pg_classifier.py:945-1009).  Cost: exact variance at n_nodes^d points
@@ -527,9 +634,14 @@ def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
         mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord)))
         axes_nodes.append(nodes)
     mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
-    node_var = predictive_variance_exact_batched(
-        spectral, x, delta, jnp.asarray(mesh, dtype=jnp.asarray(x).dtype),
-        batch_size=batch_size, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
+    mesh_t = jnp.asarray(mesh, dtype=jnp.asarray(x).dtype)
+    if solver == "dense":
+        node_var = predictive_variance_exact_dense(
+            spectral, x, delta, mesh_t, batch_size=batch_size, system=system)
+    else:
+        node_var = predictive_variance_exact_batched(
+            spectral, x, delta, mesh_t,
+            batch_size=batch_size, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     node_grid = node_var.reshape((n_nodes_per_dim,) * d)
     letters = "abcdefghij"[:d]
     expr = (",".join(f"n{c}" for c in letters) + "," + letters + "->n")

@@ -99,7 +99,8 @@ def dense_inverse(A: jnp.ndarray) -> jnp.ndarray:
 def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
                  passes: int = 3, tol: float = 1e-6,
                  x0: Optional[jnp.ndarray] = None,
-                 scale: Optional[jnp.ndarray] = None) -> CGResult:
+                 scale: Optional[jnp.ndarray] = None,
+                 check: bool = True) -> CGResult:
     """Solve ``(scale * A) x = b`` by applying ``P = inv(A)`` with
     ``passes`` rounds of iterative refinement.
 
@@ -110,6 +111,8 @@ def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
     Returns a :class:`CGResult` for drop-in compatibility with ``pcg``:
     ``iters`` = refinement passes, ``converged``/``resnorm`` from one extra
     (cheap, dense) matvec so callers report honest convergence.
+    ``check=False`` skips that extra matvec (resnorm reported as 0 /
+    converged) for hot paths that discard the diagnostics.
     """
     single = b.ndim == 1
     B = jnp.atleast_2d(b)
@@ -129,10 +132,14 @@ def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
         r = B - matvec(x)
         x = x + solve_once(r) * inv_scale
 
-    r = B - matvec(x)
-    rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=-1))
-    bn = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=-1))
-    converged = (rn / jnp.where(bn > 0, bn, 1.0) < tol) | (rn < 1e-12)
+    if check:
+        r = B - matvec(x)
+        rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=-1))
+        bn = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=-1))
+        converged = (rn / jnp.where(bn > 0, bn, 1.0) < tol) | (rn < 1e-12)
+    else:
+        rn = jnp.zeros(B.shape[0], jnp.real(B).dtype)
+        converged = jnp.ones(B.shape[0], bool)
     iters = jnp.asarray(passes, jnp.int32)
     conv_iters = jnp.where(converged, passes, passes).astype(jnp.int32)
     if single:

@@ -407,3 +407,63 @@ def test_classifier_n_bucketing(rng):
     assert clf.posterior_mean_.shape == (130,)
     assert clf.predict_proba(X).shape == (130, 2)
     assert clf.training_accuracy_ > 0.8
+
+
+def test_dense_prediction_solver_matches_cg(rng):
+    """Dense factor-solve prediction path == chunked-CG path (TPU-first
+    replacement for per-batch CG; reference always CG,
+    pg_classifier.py:671-739)."""
+    X, kern, sp, delta, h, mtot = _pg_setup(rng, n=50, d=1)
+    xnew = jnp.linspace(-0.9, 0.9, 37)[:, None]
+    v_cg = np.asarray(core.predictive_variance_exact_batched(
+        sp, X, delta, xnew, batch_size=8, cg_tol=1e-12))
+    v_dense = np.asarray(core.predictive_variance_exact_dense(
+        sp, X, delta, xnew))
+    assert np.allclose(v_dense, v_cg, rtol=1e-8, atol=1e-12)
+    # chunked dense (pad path) == one-shot dense
+    v_dense_b = np.asarray(core.predictive_variance_exact_dense(
+        sp, X, delta, xnew, batch_size=8))
+    assert np.allclose(v_dense_b, v_dense, rtol=1e-12, atol=1e-14)
+    # prebuilt-system reuse
+    sysd = core.dense_feature_system(sp, X, delta)
+    v_sys = np.asarray(core.predictive_variance_exact_dense(
+        sp, X, delta, xnew, system=sysd))
+    assert np.allclose(v_sys, v_dense)
+    # guard: refuses M beyond the dense window
+    import gpquad.models.pg_core as pgc
+    orig = pgc.DENSE_SOLVER_MAX_M
+    try:
+        pgc.DENSE_SOLVER_MAX_M = sp.M - 1
+        with pytest.raises(ValueError, match="dense prediction solver"):
+            core.predictive_variance_exact_dense(sp, X, delta, xnew)
+    finally:
+        pgc.DENSE_SOLVER_MAX_M = orig
+
+
+def test_estimator_prediction_solver_routing(rng):
+    """prediction_solver='auto' routes small-M fits through the dense
+    system; 'cg' forces the reference-style chunked CG; both agree."""
+    from gpquad.models.pg import PolyagammaGPClassifier
+    n = 220
+    X = rng.uniform(-1, 1, (n, 2))
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-3 * X[:, 0]))).astype(float)
+    xv = rng.uniform(-1, 1, (64, 2))
+    kw = dict(max_iter=2, lr=0.0, lengthscale_init=0.4, random_state=0,
+              dtype="float64")
+    clf_a = PolyagammaGPClassifier(prediction_solver="auto", **kw).fit(X, y)
+    assert clf_a._resolved_prediction_solver(
+        clf_a._spectral_state_.M) == "dense"
+    p_a = clf_a.predict_proba(xv)[:, 1]
+    v_a = clf_a.predictive_variance(xv)
+    clf_c = PolyagammaGPClassifier(prediction_solver="cg", **kw).fit(X, y)
+    p_c = clf_c.predict_proba(xv)[:, 1]
+    v_c = clf_c.predictive_variance(xv)
+    assert np.allclose(p_a, p_c, rtol=1e-6, atol=1e-8)
+    assert np.allclose(v_a, v_c, rtol=1e-4, atol=1e-8)
+    # cached system is reused across predict calls
+    s1 = clf_a._dense_system_
+    clf_a.predict_proba(xv)
+    assert clf_a._dense_system_ is s1
+    with pytest.raises(ValueError):
+        PolyagammaGPClassifier(prediction_solver="nope", **kw).fit(
+            X, y).predictive_variance(xv)
