@@ -148,9 +148,16 @@ def hard_config(args, rng):
     def sync(*arrays):
         return float(_reduce(arrays))
 
-    def f32_path():
+    rank = args.hard_precond_rank
+
+    def f32_path(precond_rank=0):
+        # timed single mean solve runs plain Jacobi: one O(rank^3) block
+        # build is not amortized by one solve (rank=2048 on v5e: 59 iters
+        # but 0.166 s vs Jacobi's 379 iters at 0.068 s); the deflated
+        # companion fields below show the amortized-workload behavior
         st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
-                           cg_tol=1e-6, max_cg_iter=2000, solver="cg")
+                           cg_tol=1e-6, max_cg_iter=2000, solver="cg",
+                           precond_rank=precond_rank)
         return st, predict_mean(st, xnew)
 
     st, mean = f32_path()
@@ -161,9 +168,18 @@ def hard_config(args, rng):
     out["hard_fit_mean_s"] = round(time.time() - t0, 4)
     out["hard_cg_iters"] = int(st.mean_cg_iters)
 
+    std, meand = f32_path(rank)
+    sync(meand)
+    t0 = time.time()
+    std, meand = f32_path(rank)
+    sync(meand)
+    out["hard_defl_fit_mean_s"] = round(time.time() - t0, 4)
+    out["hard_defl_cg_iters"] = int(std.mean_cg_iters)
+    out["hard_precond_rank"] = rank
+
     def high_path():
         hs = fit_high(x, y, kernel, sigmasq, float(h), mtot,
-                      solver="iterative")
+                      solver="iterative", precond_rank=rank)
         return hs, predict_mean_high(hs, xnew)
 
     hs, mh = high_path()
@@ -259,9 +275,12 @@ def hard3d_config(args, rng):
     def sync(*arrays):
         return float(_reduce(arrays))
 
+    rank = args.hard_precond_rank
+
     def f32_path():
         st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
-                           cg_tol=1e-6, max_cg_iter=2000, solver="cg")
+                           cg_tol=1e-6, max_cg_iter=2000, solver="cg",
+                           precond_rank=rank)
         return st, predict_mean(st, xnew)
 
     st, mean = f32_path()
@@ -271,10 +290,11 @@ def hard3d_config(args, rng):
     sync(mean)
     out["hard3d_fit_mean_s"] = round(time.time() - t0, 4)
     out["hard3d_cg_iters"] = int(st.mean_cg_iters)
+    out["hard3d_precond_rank"] = rank
 
     def high_path():
         hs = fit_high(x, y, kernel, sigmasq, float(h), mtot,
-                      solver="iterative")
+                      solver="iterative", precond_rank=rank)
         return hs, predict_mean_high(hs, xnew, slab=256)
 
     hs, mh = high_path()
@@ -313,6 +333,9 @@ def main():
     ap.add_argument("--hard-lengthscale", type=float, default=0.02,
                     help="Hard-config lengthscale (0.02 -> mtot=107, "
                          "M=11449 > DENSE_SOLVER_MAX_M, CG branch)")
+    ap.add_argument("--hard-precond-rank", type=int, default=2048,
+                    help="Deflation rank for the hard configs' CG solves "
+                         "(0 = plain Jacobi; ops/deflation.py)")
     ap.add_argument("--hard3d-n", type=int, default=20_000)
     ap.add_argument("--hard3d-lengthscale", type=float, default=0.2,
                     help="d=3 hard-config lengthscale (0.2 -> mtot=21, "

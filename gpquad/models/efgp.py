@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cg import pcg
+from ..ops.deflation import deflation_block, make_block_precond
 from ..ops.dense_solve import (DENSE_SOLVER_MAX_M, dense_gram, dense_inverse,
                                refine_solve)
 from ..ops.nufft import make_nufft
@@ -61,6 +62,8 @@ class FitState:
     diag_scale: jnp.ndarray = 1.0   # Toeplitz zero-lag (= n), Jacobi scale
     A_dense: Optional[jnp.ndarray] = None   # (M, M) dense A (dense solver)
     P_dense: Optional[jnp.ndarray] = None   # (M, M) inv(A) (dense solver)
+    defl_idx: Optional[jnp.ndarray] = None  # (k,) deflated mode indices
+    defl_P: Optional[jnp.ndarray] = None    # (k, k) inv(A[B, B])
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
     d: int = dataclasses.field(metadata={"static": True}, default=1)
 
@@ -78,7 +81,7 @@ class FitState:
 jax.tree_util.register_dataclass(
     FitState,
     data_fields=["beta", "ws", "h", "sigmasq", "toeplitz", "mean_cg_iters",
-                 "diag_scale", "A_dense", "P_dense"],
+                 "diag_scale", "A_dense", "P_dense", "defl_idx", "defl_P"],
     meta_fields=["mtot", "d"],
 )
 
@@ -118,12 +121,17 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                   use_precond: bool = True, ws_mask=None,
                   nufft_method: str = "mxu",
                   nufft_caps: Optional[tuple] = None,
-                  solver: str = "auto") -> FitState:
+                  solver: str = "auto",
+                  precond_rank: int = 0) -> FitState:
     """Fit against a fixed (static-size) frequency grid, compiled with XLA.
 
     Mirrors ``_compute_common_parameters`` (reference efgpnd.py:736-822):
     quadrature weights, NUFFT rhs, Toeplitz Gram, Jacobi-preconditioned CG
     mean solve.  ``h`` may be traced; only ``mtot`` must be static.
+    ``precond_rank > 0`` swaps the CG branch's Jacobi preconditioner for
+    the dense-head deflation preconditioner (ops/deflation.py) on the
+    top-``precond_rank`` weight modes; the block is kept on the state so
+    variance/gradient solves against the same ``A`` reuse it.
 
     Always jitted: the axon TPU runtime cannot materialize complex host
     constants or transfer complex buffers, so every complex intermediate
@@ -137,7 +145,8 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                               max_cg_iter=max_cg_iter,
                               use_precond=use_precond,
                               nufft_method=nufft_method,
-                              nufft_caps=nufft_caps, solver=solver)
+                              nufft_caps=nufft_caps, solver=solver,
+                              precond_rank=precond_rank)
 
 
 def plan_nufft_caps(x, h, mtot: int) -> tuple:
@@ -156,14 +165,16 @@ def plan_nufft_caps(x, h, mtot: int) -> tuple:
 
 @partial(jax.jit,
          static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond",
-                          "nufft_method", "nufft_caps", "solver"))
+                          "nufft_method", "nufft_caps", "solver",
+                          "precond_rank"))
 def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        mtot: int, cg_tol: float,
                        max_cg_iter: Optional[int],
                        use_precond: bool,
                        nufft_method: str = "mxu",
                        nufft_caps: Optional[tuple] = None,
-                       solver: str = "auto") -> FitState:
+                       solver: str = "auto",
+                       precond_rank: int = 0) -> FitState:
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
@@ -185,7 +196,7 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
 
     v = convolution_vector(m, x, h, nufft_method=nufft_method, cap=caps[1])
     toeplitz = make_toeplitz(v)
-    A_dense = P_dense = None
+    A_dense = P_dense = defl_idx = defl_P = None
     if resolve_solver(solver, mtot, d) == "dense":
         A_dense = dense_gram(ws, v, mtot, d, sigmasq)
         P_dense = dense_inverse(A_dense)
@@ -193,7 +204,12 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     else:
         A_mean = make_A_mean(ws, toeplitz, sigmasq)
         M_inv = None
-        if use_precond:
+        if precond_rank > 0:
+            defl_idx, defl_P = deflation_block(ws, v, sigmasq, mtot=mtot,
+                                               d=d, rank=precond_rank)
+            jac = (toeplitz_diag_scale(v) * jnp.abs(ws) ** 2 + sigmasq)
+            M_inv = make_block_precond(defl_idx, defl_P, jac)
+        elif use_precond:
             M_inv = make_jacobi_precond(ws, sigmasq,
                                         diag_scale=toeplitz_diag_scale(v))
         res = pcg(A_mean, rhs, beta0, tol=cg_tol,
@@ -203,7 +219,8 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     return FitState(beta=res.x, ws=ws, h=h, sigmasq=sigmasq,
                     toeplitz=toeplitz, mean_cg_iters=res.iters,
                     diag_scale=toeplitz_diag_scale(v),
-                    A_dense=A_dense, P_dense=P_dense, mtot=mtot, d=d)
+                    A_dense=A_dense, P_dense=P_dense,
+                    defl_idx=defl_idx, defl_P=defl_P, mtot=mtot, d=d)
 
 
 def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
@@ -268,9 +285,16 @@ def _solve_var(state: FitState, rhs, *, cg_tol, max_cg_iter):
 
 
 def _var_precond(state: FitState):
-    """Jacobi preconditioner for A_var = A_mean / sigma^2 (the reference's
+    """Preconditioner for A_var = A_mean / sigma^2 (the reference's
     variance CG runs unpreconditioned, efgpnd.py:1648-1655, 1813-1816; the
-    CSV baselines show 2.5-6x iteration cuts from the diagonal)."""
+    CSV baselines show 2.5-6x iteration cuts from the diagonal).
+
+    Reuses the fit's deflation block when present: a preconditioner for
+    ``A`` works unchanged for ``A / sigma^2`` (a global positive scale of
+    ``M^{-1}`` leaves the PCG iterates invariant)."""
+    if state.defl_P is not None:
+        jac = (state.diag_scale * jnp.abs(state.ws) ** 2 + state.sigmasq)
+        return make_block_precond(state.defl_idx, state.defl_P, jac)
     diag = (state.diag_scale * jnp.abs(state.ws) ** 2 / state.sigmasq + 1.0)
 
     def M_inv(v):

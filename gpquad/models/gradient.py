@@ -64,7 +64,8 @@ def _variance_index(kernel) -> Optional[int]:
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "cg_tol", "max_cg_iter", "use_mean_precond",
     "use_trace_precond", "compute_log_marginal", "log_marginal_probes",
-    "log_marginal_steps", "nufft_method", "nufft_caps", "solver"))
+    "log_marginal_steps", "nufft_method", "nufft_caps", "solver",
+    "precond_rank"))
 def gradient_with_grid(
         x, y, kernel, sigmasq, h, key, *, mtot: int, trace_samples: int = 10,
         cg_tol: float = 1e-3, max_cg_iter: Optional[int] = None,
@@ -74,12 +75,15 @@ def gradient_with_grid(
         compute_log_marginal: bool = False, log_marginal_probes: int = 100,
         log_marginal_steps: int = 25,
         nufft_method: str = "mxu", nufft_caps: Optional[tuple] = None,
-        solver: str = "auto") -> GradientResult:
+        solver: str = "auto", precond_rank: int = 0) -> GradientResult:
     """One gradient evaluation on a fixed-size frequency grid (jitted).
 
     Stage structure mirrors reference efgpnd.py:94-289; ``ws_mask`` zeroes
     padded grid nodes (both D and D') so bucketed static grids remain
     algebraically exact under changing hyperparameters.
+    ``precond_rank > 0`` preconditions the CG branch with the dense-head
+    deflation block (ops/deflation.py), built ONCE and shared by the mean
+    solve and every probe system.
     """
     if x.ndim == 1:
         x = x[:, None]
@@ -135,10 +139,19 @@ def gradient_with_grid(
             return refine_solve(A_dense, P_dense, b, tol=cg_tol, x0=x0)
     else:
         A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
-        jacobi = make_jacobi_precond(ws, sigmasq_eff,
-                                     diag_scale=toeplitz_diag_scale(v_kernel))
-        mean_M_inv = jacobi if use_mean_precond else None
-        trace_M_inv = jacobi if use_trace_precond else None
+        if precond_rank > 0:
+            from ..ops.deflation import deflation_block, make_block_precond
+            didx, dP = deflation_block(ws, v_kernel, sigmasq_eff, mtot=mtot,
+                                       d=d, rank=precond_rank)
+            precond = make_block_precond(
+                didx, dP,
+                toeplitz_diag_scale(v_kernel) * jnp.abs(ws) ** 2
+                + sigmasq_eff)
+        else:
+            precond = make_jacobi_precond(
+                ws, sigmasq_eff, diag_scale=toeplitz_diag_scale(v_kernel))
+        mean_M_inv = precond if use_mean_precond else None
+        trace_M_inv = precond if use_trace_precond else None
         maxiter = max_cg_iter if max_cg_iter is not None else 2 * M
 
     # --- stage 4: mean solve A beta = D F* y -------------------------------

@@ -250,11 +250,13 @@ def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
 
 
 @partial(jax.jit, static_argnames=("mtot", "passes", "chunk",
-                                   "ir_tol", "ir_maxiter", "rtol"))
+                                   "ir_tol", "ir_maxiter", "rtol",
+                                   "precond_rank", "exact_tables"))
 def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
                         mtot: int, passes: int, chunk: int,
                         ir_tol: float, ir_maxiter: int,
-                        rtol: float = 0.0):
+                        rtol: float = 0.0, precond_rank: int = 0,
+                        exact_tables: bool = True):
     """Matrix-free high-precision fit for grids past the dense-solver
     window: f32 Jacobi-PCG correction solves (ops/cg.py) driven by df64
     TRUE residuals from the df64 Toeplitz matvec (ops/toeplitz_df.py).
@@ -278,14 +280,24 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     ws_df = (ws_hi, ws_lo)
     sig_df = (sig_hi, sig_lo)
 
+    # one-time df64 tables.  ``exact_tables=False`` uses the chunked-MXU
+    # builder (~1e-9 table error at chunk<=8 — two orders inside the 1e-6
+    # mean target this fit serves, and ~10x cheaper at large mtot);
+    # ``True`` keeps the all-df64 exact builder (~1e-13) that the
+    # variance quadratic form requires (models/variance_high.py).
+    table1 = (df_nufft1_exact if exact_tables
+              else lambda xx, vv, hh, mm: df_nufft1(
+                  xx, jnp.ones((xx.shape[0],), xx.dtype) if vv is None
+                  else vv, hh, mm, chunk=min(chunk, 8)))
+
     # rhs b = D F* y in df64
-    Fy_hi, Fy_lo = df_nufft1_exact(x, y, h_df, mtot)
+    Fy_hi, Fy_lo = table1(x, y, h_df, mtot)
     b_re = df_mul(ws_df, (jnp.real(Fy_hi), jnp.real(Fy_lo)))
     b_im = df_mul(ws_df, (jnp.imag(Fy_hi), jnp.imag(Fy_lo)))
 
     # Toeplitz lag table in df64 -> f32 operator + df64 symbol
     ones = jnp.ones((n,), x.dtype)
-    v_hi, v_lo = df_nufft1_exact(x, None, h_df, 4 * m + 1)
+    v_hi, v_lo = table1(x, None, h_df, 4 * m + 1)
     reshape = (4 * m + 1,) * d
     v_cdf = ((jnp.real(v_hi).reshape(reshape),
               jnp.real(v_lo).reshape(reshape)),
@@ -296,8 +308,15 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
     toeplitz = make_toeplitz(v_c)
     ws_c = ws_hi.astype(v_c.dtype)
     A_mean = make_A_mean(ws_c, toeplitz, sig_hi)
-    M_inv = make_jacobi_precond(ws_c, sig_hi,
-                                diag_scale=toeplitz_diag_scale(v_c))
+    if precond_rank > 0:
+        from ..ops.deflation import deflation_block, make_block_precond
+        didx, dP = deflation_block(ws_c, v_c, sig_hi, mtot=mtot, d=d,
+                                   rank=precond_rank)
+        M_inv = make_block_precond(
+            didx, dP, toeplitz_diag_scale(v_c) * jnp.abs(ws_c) ** 2 + sig_hi)
+    else:
+        M_inv = make_jacobi_precond(ws_c, sig_hi,
+                                    diag_scale=toeplitz_diag_scale(v_c))
 
     def A_df(beta_re, beta_im):
         u = (df_mul(ws_df, beta_re), df_mul(ws_df, beta_im))
@@ -321,10 +340,11 @@ def _fit_high_iter_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
 
 
 def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
-             chunk: int = 64, solver: str = "auto",
+             chunk: int = 8, solver: str = "auto",
              ir_passes: int = 7, ir_tol: float = 1e-2,
              ir_maxiter: int = 600, ir_rtol: float = 1e-11,
-             exact_tables: bool = True) -> HighState:
+             exact_tables: Optional[bool] = None,
+             precond_rank: int = 0) -> HighState:
     """High-precision fit.  ``h``, ``sigmasq`` and the kernel hypers must
     be concrete (host f64 planning values), not jit tracers.
 
@@ -335,16 +355,29 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
     refinement ends once the measured true residual is below
     ``ir_rtol * |b|`` (well inside the 1e-6 mean-agreement target), or
     after ``ir_passes`` passes, whichever comes first.
-    ``exact_tables=False`` (dense branch only) builds the rhs/lag tables
-    with the chunked-MXU df_nufft1 instead of the all-df64 builder —
-    ~2.5x cheaper, table error ~chunk^1.5 eps / n; the fused pipeline's
-    speed path (models/pipeline.py).
+    ``exact_tables``: how the one-time rhs/lag tables are built.
+    ``True`` = the all-df64 exact builder (~1e-13 table error);
+    ``False`` = the chunked-MXU df_nufft1 at ``min(chunk, 8)`` (~1e-9 —
+    two-plus orders inside the 1e-6 mean-agreement target this fit
+    serves, and up to ~6x cheaper at large n*mtot^d: 2.62 s -> 0.42 s on
+    the bench hard config with max error vs the f64 oracle unchanged at
+    5.68e-7).  Default ``None`` resolves automatically: exact while the
+    table work ``n * (2*mtot-1)^d`` stays under ~3e8 df-products (where
+    the exact builder is effectively free AND its extra digits matter —
+    at small n the table error is a visibly larger fraction of the sum),
+    chunked beyond.  States feeding a variance quadratic form need exact
+    tables; the variance estimators build their own
+    (models/variance_high.py).
+    ``precond_rank > 0`` preconditions the iterative branch's inner CG
+    with the dense-head deflation block (ops/deflation.py).
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
     d = x.shape[1]
     M = mtot ** d
+    if exact_tables is None:
+        exact_tables = x.shape[0] * (2 * mtot - 1) ** d <= 3e8
     if solver == "auto":
         solver = "dense" if M <= DENSE_SOLVER_MAX_M else "iterative"
     if solver not in ("dense", "iterative"):
@@ -368,7 +401,8 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
     state, beta_lo, _ = _fit_high_iter_core(
         x, jnp.asarray(y), ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
         mtot=mtot, passes=ir_passes, chunk=chunk, ir_tol=ir_tol,
-        ir_maxiter=ir_maxiter, rtol=ir_rtol)
+        ir_maxiter=ir_maxiter, rtol=ir_rtol, precond_rank=precond_rank,
+        exact_tables=exact_tables)
     return HighState(state=state, ws_lo=ws_lo, h_lo=h_lo, beta_lo=beta_lo)
 
 
