@@ -99,12 +99,15 @@ def _df_scal(pair, x):
 
 @partial(jax.jit, static_argnames=("mtot", "trace_samples", "passes",
                                    "chunk", "ir_tol", "ir_maxiter",
-                                   "rtol"))
+                                   "rtol", "use_dense_inner",
+                                   "precond_rank"))
 def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
                         sig_hi, sig_lo, isig_hi, isig_lo, ivar_hi, ivar_lo,
                         var_hi, var_lo, *, mtot: int, trace_samples: int,
                         passes: int, chunk: int, ir_tol: float,
-                        ir_maxiter: int, rtol: float = 0.0):
+                        ir_maxiter: int, rtol: float = 0.0,
+                        use_dense_inner: bool = False,
+                        precond_rank: int = 0):
     n, d = x.shape
     m = (mtot - 1) // 2
     T = trace_samples
@@ -136,8 +139,27 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
     toeplitz32 = make_toeplitz(v_c)
     ws_c = ws_hi.astype(v_c.dtype)
     A_mean32 = make_A_mean(ws_c, toeplitz32, sig_hi)
-    M_inv = make_jacobi_precond(ws_c, sig_hi,
-                                diag_scale=toeplitz_diag_scale(v_c))
+    solve32 = None
+    if use_dense_inner:
+        # M <= DENSE_SOLVER_MAX_M: dense MXU inverse answers every inner
+        # correction solve (mean + all probe lanes x passes) with one
+        # matmul (same rationale as models/variance_high.py)
+        from ..ops.dense_solve import dense_gram, dense_inverse
+        A_c = dense_gram(ws_c, v_c, mtot, d, sig_hi)
+        P_c = dense_inverse(A_c)
+        HI = jax.lax.Precision.HIGHEST
+        solve32 = lambda r: jnp.matmul(r, P_c.T, precision=HI)
+        M_inv = None
+    elif precond_rank > 0:
+        from ..ops.deflation import deflation_block, make_block_precond
+        didx, dP = deflation_block(ws_c, v_c, sig_hi, mtot=mtot, d=d,
+                                   rank=precond_rank)
+        M_inv = make_block_precond(
+            didx, dP, toeplitz_diag_scale(v_c) * jnp.abs(ws_c) ** 2
+            + sig_hi)
+    else:
+        M_inv = make_jacobi_precond(ws_c, sig_hi,
+                                    diag_scale=toeplitz_diag_scale(v_c))
 
     def T_apply(u):                    # complex df pair -> complex df pair
         return toeplitz_df_matvec(T_df, u)
@@ -173,7 +195,7 @@ def _gradient_high_core(x, y, Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
 
     (X_re, X_im), iters, res = df64_ir_solve(
         A_mean32, M_inv, A_df, B_re, B_im, passes=passes, ir_tol=ir_tol,
-        ir_maxiter=ir_maxiter, rtol=rtol)
+        ir_maxiter=ir_maxiter, rtol=rtol, solve32=solve32)
 
     beta_re = (X_re[0][0], X_re[1][0])
     beta_im = (X_im[0][0], X_im[1][0])
@@ -244,13 +266,16 @@ def gradient_high(x, y, kernel, sigmasq, h, mtot: int, *,
                   probes: Optional[Tuple] = None, passes: int = 7,
                   chunk: int = 64, ir_tol: float = 1e-2,
                   ir_maxiter: int = 600,
-                  ir_rtol: float = 1e-11) -> GradientHighResult:
+                  ir_rtol: float = 1e-11,
+                  precond_rank: int = 0) -> GradientHighResult:
     """df64 hyper-gradient over (lengthscale, variance, sigmasq).
 
     Same estimator and probe conventions as
     models/gradient.gradient_with_grid (pass ``probes=(Z, V)`` for exact
     same-probe comparisons); hypers/``h``/``sigmasq`` must be concrete
-    (host-f64 planning values).
+    (host-f64 planning values).  For ``M <= DENSE_SOLVER_MAX_M`` the
+    inner correction solves use one dense MXU inverse; beyond it,
+    ``precond_rank > 0`` deflates the inner CG (ops/deflation.py).
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -284,9 +309,12 @@ def gradient_high(x, y, kernel, sigmasq, h, mtot: int, *,
     isig_hi, isig_lo = split_f64_host(1.0 / sig64)
     var_hi, var_lo = split_f64_host(var64)
     ivar_hi, ivar_lo = split_f64_host(1.0 / var64)
+    from ..ops.dense_solve import DENSE_SOLVER_MAX_M
     grad, iters, res = _gradient_high_core(
         x, jnp.asarray(y), Z, V, ws_hi, ws_lo, dl_hi, dl_lo, h_hi, h_lo,
         sig_hi, sig_lo, isig_hi, isig_lo, ivar_hi, ivar_lo, var_hi, var_lo,
         mtot=mtot, trace_samples=Z.shape[0], passes=passes, chunk=chunk,
-        ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=ir_rtol)
+        ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=ir_rtol,
+        use_dense_inner=M <= DENSE_SOLVER_MAX_M,
+        precond_rank=precond_rank)
     return GradientHighResult(grad=grad, inner_iters=iters, residual=res)

@@ -204,7 +204,8 @@ def _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
 
 
 def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
-                  ir_tol: float, ir_maxiter: int, rtol: float = 0.0):
+                  ir_tol: float, ir_maxiter: int, rtol: float = 0.0,
+                  solve32=None):
     """Iterative refinement of ``A x = b`` to the df64 floor: per pass,
     the TRUE residual is computed in df64 via ``A_df`` (a (re, im) df-pair
     matvec) and the correction system solved with the f32 PCG to the
@@ -215,6 +216,11 @@ def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
     stops as soon as the measured true residual drops below
     ``rtol * |b|`` (well-conditioned systems converge in 2-3 of the
     ``passes`` budget; ``rtol=0`` reproduces the fixed-pass schedule).
+
+    ``solve32``: optional direct f32 correction solver ``r32 -> x32``
+    (e.g. a dense-inverse matmul for M <= DENSE_SOLVER_MAX_M) replacing
+    the inner PCG; its residual plays the ir_tol role (a P accurate to
+    ~cond * 2^-24 contracts the true residual just as fast).
 
     Returns ((x_re, x_im) df pairs, total inner iters, last true residual
     norm BEFORE the final correction).
@@ -236,11 +242,16 @@ def df64_ir_solve(A_mean, M_inv, A_df, b_re, b_im, *, passes: int,
         resnorm = jnp.sqrt(jnp.sum((rr[0] + rr[1]) ** 2
                                    + (ri[0] + ri[1]) ** 2))
         r32 = lax.complex(rr[0] + rr[1], ri[0] + ri[1])
-        corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter,
-                   M_inv=M_inv)
-        x_re = df_add(x_re, (jnp.real(corr.x), zero))
-        x_im = df_add(x_im, (jnp.imag(corr.x), zero))
-        return (x_re, x_im, iters + corr.iters, k + 1, resnorm)
+        if solve32 is not None:
+            cx = solve32(r32)
+            c_iters = jnp.asarray(1, jnp.int32)
+        else:
+            corr = pcg(A_mean, r32, tol=ir_tol, maxiter=ir_maxiter,
+                       M_inv=M_inv)
+            cx, c_iters = corr.x, corr.iters
+        x_re = df_add(x_re, (jnp.real(cx), zero))
+        x_im = df_add(x_im, (jnp.imag(cx), zero))
+        return (x_re, x_im, iters + c_iters, k + 1, resnorm)
 
     carry0 = ((zero, zero), (zero, zero), jnp.asarray(0, jnp.int32),
               jnp.asarray(0, jnp.int32), big)

@@ -72,11 +72,13 @@ def _conj_rows_df(xs, h_df, mtot: int, d: int):
 
 
 @partial(jax.jit, static_argnames=("mtot", "d", "slab", "passes", "chunk",
-                                   "ir_tol", "ir_maxiter", "rtol"))
+                                   "ir_tol", "ir_maxiter", "rtol",
+                                   "use_dense_inner", "precond_rank"))
 def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
                         *, mtot: int, d: int, slab: int, passes: int,
                         chunk: int, ir_tol: float, ir_maxiter: int,
-                        rtol: float = 0.0):
+                        rtol: float = 0.0, use_dense_inner: bool = False,
+                        precond_rank: int = 0):
     n = x.shape[0]
     m = (mtot - 1) // 2
     h_df = (h_hi, h_lo)
@@ -100,8 +102,27 @@ def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
     toeplitz32 = make_toeplitz(v_c)
     ws_c = ws_hi.astype(v_c.dtype)
     A_mean32 = make_A_mean(ws_c, toeplitz32, sig_hi)
-    M_inv = make_jacobi_precond(ws_c, sig_hi,
-                                diag_scale=toeplitz_diag_scale(v_c))
+    solve32 = None
+    if use_dense_inner:
+        # M <= DENSE_SOLVER_MAX_M: ONE dense inverse on the MXU turns
+        # every inner correction solve (slab lanes x passes, previously
+        # hundreds of CG iterations each) into a single matmul
+        from ..ops.dense_solve import dense_gram, dense_inverse
+        A_c = dense_gram(ws_c, v_c, mtot, d, sig_hi)
+        P_c = dense_inverse(A_c)
+        HI = jax.lax.Precision.HIGHEST
+        solve32 = lambda r: jnp.matmul(r, P_c.T, precision=HI)
+        M_inv = None
+    elif precond_rank > 0:
+        from ..ops.deflation import deflation_block, make_block_precond
+        didx, dP = deflation_block(ws_c, v_c, sig_hi, mtot=mtot, d=d,
+                                   rank=precond_rank)
+        M_inv = make_block_precond(
+            didx, dP, toeplitz_diag_scale(v_c) * jnp.abs(ws_c) ** 2
+            + sig_hi)
+    else:
+        M_inv = make_jacobi_precond(ws_c, sig_hi,
+                                    diag_scale=toeplitz_diag_scale(v_c))
 
     def A_df(x_re, x_im):
         u = (df_mul(ws_df, x_re), df_mul(ws_df, x_im))
@@ -118,7 +139,8 @@ def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
         b_im = df_mul(ws_df, g_im)
         (z_re, z_im), iters, _ = df64_ir_solve(
             A_mean32, M_inv, A_df, b_re, b_im, passes=passes,
-            ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=rtol)
+            ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=rtol,
+            solve32=solve32)
         wz_re = df_mul(ws_df, z_re)
         wz_im = df_mul(ws_df, z_im)
         # var = sigma^2 Re<g, W z>  (Re<a,b> = sum ar*br + ai*bi)
@@ -139,12 +161,17 @@ def _variance_high_core(x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo,
 def variance_high(x, kernel, sigmasq, h, mtot: int, x_new, *,
                   passes: int = 7, chunk: int = 64, slab: int = 256,
                   ir_tol: float = 1e-2, ir_maxiter: int = 600,
-                  ir_rtol: float = 1e-11):
+                  ir_rtol: float = 1e-11, precond_rank: int = 0):
     """Exact per-target posterior variance at df64 accuracy (~1e-7 vs the
     f64 dense oracle).  ``h``/``sigmasq``/kernel hypers must be concrete
     host-f64 planning values, like fit_high/gradient_high.
 
     Matrix-free: works at any grid size (no DENSE_SOLVER_MAX_M window).
+    For ``M <= DENSE_SOLVER_MAX_M`` the inner correction solves use one
+    dense MXU inverse (a matmul per pass) instead of CG; beyond it,
+    ``precond_rank > 0`` swaps the inner Jacobi for the dense-head
+    deflation block (ops/deflation.py).  The df64 TRUE-residual loop is
+    identical either way, so the accuracy story does not change.
     Returns the (nt,) variance as plain f32.
     """
     x = jnp.asarray(x)
@@ -158,8 +185,11 @@ def variance_high(x, kernel, sigmasq, h, mtot: int, x_new, *,
     ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, d)
     h_hi, h_lo = split_f64_host(h64)
     sig_hi, sig_lo = split_f64_host(float(sigmasq))
+    from ..ops.dense_solve import DENSE_SOLVER_MAX_M
     var, _ = _variance_high_core(
         x, x_new, ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, mtot=mtot,
         d=d, slab=min(slab, max(1, x_new.shape[0])), passes=passes,
-        chunk=chunk, ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=ir_rtol)
+        chunk=chunk, ir_tol=ir_tol, ir_maxiter=ir_maxiter, rtol=ir_rtol,
+        use_dense_inner=mtot ** d <= DENSE_SOLVER_MAX_M,
+        precond_rank=precond_rank)
     return var
