@@ -192,29 +192,41 @@ def exact_chunk(mtot: int, d: int) -> int:
 
 
 def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
-                    chunk: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    chunk: int = 0,
+                    method: str = "auto"
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully-df64 type-1 (isign=-1): no f32 MXU accumulation anywhere.
 
     :func:`df_nufft1` reduces each 64-point chunk with a plain f32 matmul
     and only combines the chunk partials in df64 — the in-chunk random
     walk leaves the output at ~1e-8..1e-9 relative, which the posterior-
     variance quadratic form amplifies through ``A^{-1}`` past the 1e-6
-    target (models/variance_high.py).  Here every product AND the
-    point-axis sum run in double-word arithmetic (``df_sum_tree``), so the
-    error is the ~1e-14 df64 roundoff random walk: measured ~1e-13
-    relative on the lag-table build.  All VPU; cost O(n mtot^d) df-flops,
-    used for one-time table builds, not per-iteration applies.
+    target (models/variance_high.py).  Exact builds keep the error at the
+    ~1e-14 df64 roundoff random walk (measured ~1e-13 on the lag-table
+    build), used for one-time tables, not per-iteration applies.
+
+    ``method``: 'auto' (default) uses the error-free bf16-digit MXU
+    builder (:func:`gpquad.ops.ozaki.ozaki_nufft1`, ~1e-14, 18x faster
+    at the (213,)^2 lag table on v5e and ~11x on XLA:CPU) whenever it
+    applies — ``d <= 2``, real/unit weights, f32 words — and the
+    all-VPU compensated builder otherwise.  'compensated' / 'ozaki'
+    force a branch.
 
     ``vals`` may be None (unit strengths — the Gram lag table), real, or
     complex; returns the same flat complex (hi, lo) pair as
     :func:`df_nufft1`.  ``chunk=0`` (default) picks the memory-aware
-    size from :func:`exact_chunk`.
+    size from :func:`exact_chunk` (compensated branch only).
     """
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
     if d > 3:
         raise NotImplementedError("df64 NUFFT supports d <= 3")
+    eligible = (d <= 2 and x.dtype == jnp.float32
+                and (vals is None or not jnp.iscomplexobj(vals)))
+    if method == "ozaki" or (method == "auto" and eligible):
+        from .ozaki import ozaki_nufft1
+        return ozaki_nufft1(x, vals, h_df, mtot)
     if chunk <= 0:
         chunk = exact_chunk(mtot, d)
     rdtype = x.dtype
