@@ -208,7 +208,7 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
     ``method``: 'auto' (default) uses the error-free bf16-digit MXU
     builder (:func:`gpquad.ops.ozaki.ozaki_nufft1`, ~1e-14, 18x faster
     at the (213,)^2 lag table on v5e and ~11x on XLA:CPU) whenever it
-    applies — ``d <= 2``, real/unit weights, f32 words — and the
+    applies — ``d <= 3``, real/unit weights, f32 words — and the
     all-VPU compensated builder otherwise.  'compensated' / 'ozaki'
     force a branch.
 
@@ -222,7 +222,7 @@ def df_nufft1_exact(x: jnp.ndarray, vals, h_df, mtot: int, *,
     n, d = x.shape
     if d > 3:
         raise NotImplementedError("df64 NUFFT supports d <= 3")
-    eligible = (d <= 2 and x.dtype == jnp.float32
+    eligible = (d <= 3 and x.dtype == jnp.float32
                 and (vals is None or not jnp.iscomplexobj(vals)))
     if method == "ozaki" or (method == "auto" and eligible):
         from .ozaki import ozaki_nufft1

@@ -28,8 +28,11 @@ the work from the VPU to the MXU.
 
 Weights fold into the second factor scaled by the power of two
 ``2^F >= max|w|`` (exact), so the unit-interval digit algebra applies
-unchanged.  Real weights only (every table call site passes real ``y``
-or ones); d <= 2 (d=3 tables fall back to the compensated builder).
+unchanged.  For d = 3 the second factor is the df64 OUTER PRODUCT of
+dims 1..2 (per-dim mode counts are small in 3-D, so the (c, mtot^2) row
+factor is cheap) — the digit matmul then contracts dim 0 against it
+exactly as in 2-D.  Real weights only (every table call site passes
+real ``y`` or ones).
 """
 from __future__ import annotations
 
@@ -40,7 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .df64 import df_add, df_mul, df_mul_f, df_sum_tree, two_sum
-from .nufft_df import _pad_pow2_chunks, df_phase_factors
+from .nufft_df import _pad_pow2_chunks, cdf_outer_rows, df_phase_factors
 
 __all__ = ["ozaki_nufft1"]
 
@@ -99,8 +102,8 @@ def ozaki_nufft1(x: jnp.ndarray, vals: Optional[jnp.ndarray], h_df,
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
-    if d > 2:
-        raise NotImplementedError("ozaki_nufft1 supports d <= 2")
+    if d > 3:
+        raise NotImplementedError("ozaki_nufft1 supports d <= 3")
     rdtype = x.dtype
     cdtype = jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
     if vals is not None and jnp.iscomplexobj(vals):
@@ -140,11 +143,20 @@ def ozaki_nufft1(x: jnp.ndarray, vals: Optional[jnp.ndarray], h_df,
             re = _exact_dot(P, a2, L1, L2)
             im = _exact_dot(P, b2, L1, L2)
         else:
-            _, c2, s2 = df_phase_factors(xc[:, 1], h_df, mtot, isign=-1)
-            L1 = L2 = mtot
+            # fold w and dims 1..d-1 into one df64 row factor (|.| <= 1)
+            rows_re, rows_im = None, None
+            for dim in range(1, d):
+                _, ct, st = df_phase_factors(xc[:, dim], h_df, mtot,
+                                             isign=-1)
+                if rows_re is None:
+                    rows_re, rows_im = ct, st
+                else:
+                    rows_re, rows_im = cdf_outer_rows(rows_re, rows_im,
+                                                      ct, st)
+            L1, L2 = mtot, mtot ** (d - 1)
             A1, B1 = _digit_block(c1), _digit_block(s1)
-            A2 = _digit_block(df_mul(wpair, c2))
-            B2 = _digit_block(df_mul(wpair, s2))
+            A2 = _digit_block(df_mul(wpair, rows_re))
+            B2 = _digit_block(df_mul(wpair, rows_im))
             # (a1 + i b1)(a2 + i b2) summed with real w folded into 2
             bb = _exact_dot(B1, B2, L1, L2)
             re = df_add(_exact_dot(A1, A2, L1, L2), (-bb[0], -bb[1]))

@@ -51,7 +51,7 @@ def _h_df(h):
 
 
 @pytest.mark.parametrize("d,mtot,n", [(1, 29, 3000), (2, 21, 5000),
-                                      (2, 57, 2000)])
+                                      (2, 57, 2000), (3, 9, 2000)])
 def test_matches_compensated_builder(rng, d, mtot, n):
     x = jnp.asarray(rng.uniform(0, 1, (n, d)), jnp.float32)
     y = jnp.asarray(rng.normal(size=n) * 11.3, jnp.float32)
@@ -78,7 +78,7 @@ def test_auto_dispatch_and_guards(rng):
     assert np.array_equal(np.asarray(jnp.real(pa[0])),
                           np.asarray(jnp.real(po[0])))
     with pytest.raises(NotImplementedError):
-        ozaki_nufft1(jnp.zeros((8, 3), jnp.float32), None, h_df, 5)
+        ozaki_nufft1(jnp.zeros((8, 4), jnp.float32), None, h_df, 5)
     with pytest.raises(NotImplementedError):
         ozaki_nufft1(x, y.astype(jnp.complex64), h_df, 9)
 
