@@ -190,6 +190,32 @@ def hard_config(args, rng):
     out["hard_high_fit_mean_s"] = round(time.time() - t0, 4)
     out["hard_high_total_inner_iters"] = int(hs.state.mean_cg_iters)
 
+    # oracle-grade df64 gradient + exact variance at M > DENSE_SOLVER_MAX_M
+    # (matrix-free IR + deflated inner CG; accuracy artifact:
+    # scripts/verify_hard_high_accuracy.py -> experiments/
+    # hard_high_accuracy.json)
+    from gpquad.models.gradient_high import gradient_high
+    from gpquad.models.variance_high import variance_high
+
+    def ghigh():
+        return gradient_high(x, y, kernel, sigmasq, float(h), mtot,
+                             trace_samples=args.trace_samples,
+                             key=jax.random.PRNGKey(3), precond_rank=rank)
+    r = ghigh(); sync(r.grad)
+    t0 = time.time(); r = ghigh(); sync(r.grad)
+    out["hard_grad_high_s"] = round(time.time() - t0, 4)
+    out["hard_grad_high_residual"] = float(r.residual)
+
+    xvar = xnew[:256]
+
+    def vhigh():
+        return variance_high(x, kernel, sigmasq, float(h), mtot, xvar,
+                             precond_rank=rank)
+    v = vhigh(); sync(v)
+    t0 = time.time(); v = vhigh(); sync(v)
+    out["hard_var_high_s"] = round(time.time() - t0, 4)
+    out["hard_var_high_targets"] = int(xvar.shape[0])
+
     # Jacobi family sweep: ONE compiled program, gamma traced
     @partial(jax.jit, static_argnames=("mtot",))
     def _setup(x, y, kernel, sigmasq, h, *, mtot):
