@@ -139,7 +139,7 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
         solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps)
     hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
                                  sig_hi, sig_lo, mtot=mtot, passes=passes,
-                                 chunk=chunk, exact_tables=False)
+                                 chunk=chunk, exact_tables=True)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot,
@@ -195,7 +195,7 @@ def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     hstate, res = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
                                  h_lo, sig_hi, sig_lo, mtot=mtot,
                                  passes=passes, chunk=chunk,
-                                 exact_tables=False)
+                                 exact_tables=True)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot, d=d,

@@ -388,7 +388,13 @@ def fit_high(x, y, kernel, sigmasq, h, mtot: int, *, passes: int = 8,
     d = x.shape[1]
     M = mtot ** d
     if exact_tables is None:
-        exact_tables = x.shape[0] * (2 * mtot - 1) ** d <= 3e8
+        # the error-free bf16-digit MXU builder (ops/ozaki.py) made exact
+        # tables CHEAPER than the chunked builder wherever it dispatches
+        # (d <= 3, real weights, f32 words — every fit call site), so
+        # auto now always prefers exact; the work budget only gates the
+        # residual non-dispatch cases (f64 words on CPU x64 oracles)
+        exact_tables = (x.dtype == jnp.float32
+                        or x.shape[0] * (2 * mtot - 1) ** d <= 3e8)
     if solver == "auto":
         solver = "dense" if M <= DENSE_SOLVER_MAX_M else "iterative"
     if solver not in ("dense", "iterative"):
