@@ -493,6 +493,11 @@ def main():
                        max_cg_iter=400, etas=jnp.asarray(etas))
     t_var_cheb, vc = timed(predict_var, state, xnew, method="chebyshev",
                            chebyshev_nodes=20, cg_tol=1e-5, max_cg_iter=600)
+    # exact per-target ('regular') variance at ALL 10k targets — the
+    # reference's slowest row: 180.9 s on CPU (BASELINE.md,
+    # efgpnd_ex.ipynb cells 29/35); dense-reuse + microbatched matmuls
+    t_var_reg, _vr = timed(predict_var, state, xnew, method="regular",
+                           cg_tol=1e-5, max_cg_iter=600)
     t_grad, gres = timed(gradient_with_grid, x, y, kernel, sigmasq, h, key,
                          mtot=mtot, trace_samples=args.trace_samples,
                          cg_tol=1e-4, max_cg_iter=1000,
@@ -512,6 +517,19 @@ def main():
     t_var_high, vhigh = timed(variance_high, x, kernel, sigmasq, float(h),
                               int(mtot), xnew[:512], slab=256)
 
+    # hyper-learning: 20 Adam iterations through the model facade — the
+    # reference's committed loop is 3.66 s for 20 iters at n=4766/M=361
+    # on CPU (BASELINE.md, oisst_probe_reuse_summary.json); this one runs
+    # the full n=1e5 problem
+    from gpquad.models.model import EFGP
+    efgp_model = EFGP(x, y, "SE", sigmasq=float(sigmasq), eps=eps)
+    efgp_model.optimize_hyperparameters(max_iters=1, lr=0.05,
+                                        trace_samples=args.trace_samples)
+    t0 = time.time()
+    efgp_model.optimize_hyperparameters(max_iters=20, lr=0.05,
+                                        trace_samples=args.trace_samples)
+    t_hyper20 = time.time() - t0
+
     # headline = the single fused program: f32 pass (mean+var+grad) PLUS
     # the high-precision refit+mean delivering the eps=1e-6 oracle
     # agreement — everything the north star asks for in one dispatch
@@ -530,6 +548,10 @@ def main():
         "fit_s": round(t_fit, 4), "mean_s": round(t_mean, 4),
         "var_stochastic_s": round(t_var, 4),
         "var_chebyshev_s": round(t_var_cheb, 4),
+        "var_regular_10k_s": round(t_var_reg, 4),
+        "hyperlearn_20iters_s": round(t_hyper20, 4),
+        "hyperlearn_lengthscale": float(
+            np.exp(np.asarray(efgp_model.params.raw))[0]),
         "grad_s": round(t_grad, 4),
         "grad_high_s": round(t_grad_high, 4),
         "var_high_s": round(t_var_high, 4),
