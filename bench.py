@@ -207,14 +207,19 @@ def hard_config(args, rng):
     out["hard_grad_high_residual"] = float(r.residual)
 
     xvar = xnew[:256]
+    # the 256-lane variance amortizes a BIGGER deflation block than the
+    # 1-31-RHS fit/gradient solves (measured on v5e: rank 4096 halves it,
+    # 2.14 -> 1.11 s, while costing the single-RHS fit 0.31 -> 0.58 s)
+    rank_var = min(2 * rank, mtot ** d) if rank else 0
 
     def vhigh():
         return variance_high(x, kernel, sigmasq, float(h), mtot, xvar,
-                             precond_rank=rank)
+                             precond_rank=rank_var, passes=4, ir_tol=1e-4)
     v = vhigh(); sync(v)
     t0 = time.time(); v = vhigh(); sync(v)
     out["hard_var_high_s"] = round(time.time() - t0, 4)
     out["hard_var_high_targets"] = int(xvar.shape[0])
+    out["hard_var_high_rank"] = rank_var
 
     # Jacobi family sweep: ONE compiled program, gamma traced
     @partial(jax.jit, static_argnames=("mtot",))
