@@ -164,14 +164,26 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         return jax.random.fold_in(jax.random.PRNGKey(seed), salt)
 
     def _make_kernel_obj(self, lengthscale, variance, d):
+        """Kernel factory.  The reference gates its PG classifier to SE
+        ("Only the squared exponential kernel is supported in v1",
+        pg_classifier.py:301-302); here any kernel with a spectral
+        density + spectral gradient works — the E/M passes only ever see
+        the quadrature weights ``ws``/``ws2`` and ``Dprime``, so Matern
+        (12/32/52 closed forms or generic nu) drops straight in."""
         name = str(self.kernel).lower()
-        if name not in {"squared_exponential", "se", "rbf"}:
-            raise ValueError(
-                "Only the squared exponential kernel is supported in v1.")
         rd = self._rdtype()
-        return SquaredExponential(lengthscale=jnp.asarray(lengthscale, rd),
-                                  variance=jnp.asarray(variance, rd),
-                                  dimension=d)
+        if name in {"squared_exponential", "se", "rbf"}:
+            return SquaredExponential(
+                lengthscale=jnp.asarray(lengthscale, rd),
+                variance=jnp.asarray(variance, rd), dimension=d)
+        from ..kernels import make_kernel
+        try:
+            kern = make_kernel(self.kernel, dimension=d)
+        except ValueError as e:
+            raise ValueError(
+                f"Unknown kernel {self.kernel!r} for the PG estimator "
+                "(use 'squared_exponential' or a Matern variant).") from e
+        return kern.with_hypers(jnp.asarray([lengthscale, variance], rd))
 
     def _plan_grid(self, X, lengthscale, variance):
         """Host-side bucketed grid plan: (kernel, h, mtot, mask)."""

@@ -467,3 +467,44 @@ def test_estimator_prediction_solver_routing(rng):
     with pytest.raises(ValueError):
         PolyagammaGPClassifier(prediction_solver="nope", **kw).fit(
             X, y).predictive_variance(xv)
+
+
+def test_matern_kernel_estimator(rng):
+    """PG estimators accept Matern kernels (the reference gates to SE,
+    pg_classifier.py:301-302; the spectral E/M algebra is kernel-
+    agnostic).  The PG posterior mean on training inputs must match the
+    dense PG formula built from the same truncated spectral kernel."""
+    from gpquad.models.pg import PolyagammaGPClassifier
+    n, d = 160, 2
+    X = rng.uniform(-1, 1, (n, d))
+    y = (rng.uniform(size=n)
+         < 1 / (1 + np.exp(-3 * np.sin(2 * X[:, 0])))).astype(float)
+    clf = PolyagammaGPClassifier(kernel="Matern32", max_iter=2, lr=0.0,
+                                 lengthscale_init=0.5, random_state=0,
+                                 dtype="float64", spectral_eps=1e-6)
+    clf.fit(X, y)
+    p = clf.predict_proba(rng.uniform(-1, 1, (32, d)))[:, 1]
+    assert np.all((p > 0) & (p < 1))
+    # dense check of the M-step mean against the SAME truncated spectral
+    # kernel K = Re(F ws2 F^H): isolates the PG algebra from Matern's
+    # (slow, polynomial-tail) quadrature truncation, which the EFGP
+    # quadrature tests characterize separately
+    sp = clf._spectral_state_
+    F = dense_F(np.asarray(clf._X_train_t_), float(sp.h), int(sp.mtot))
+    ws2 = np.asarray(jnp.real(sp.ws2))
+    K = np.real((F * ws2[None, :]) @ F.conj().T)
+    delta = np.asarray(clf._delta_t_)
+    kappa = np.asarray(clf._y_train_like_) if hasattr(
+        clf, "_y_train_like_") else (y - 0.5)
+    nK = K.shape[0]
+    m_dense = K @ np.linalg.solve(np.eye(nK) + delta[:, None] * K,
+                                  np.concatenate([kappa,
+                                                  np.zeros(nK - n)]))
+    # the M-step mean F ws2 beta pairs with the STORED delta (the E-step
+    # mean pairs with the pre-update delta)
+    got = np.real(F @ (ws2 * np.asarray(clf._beta_mean_t_)))
+    assert np.max(np.abs(got - m_dense)) \
+        < 1e-5 * max(1.0, np.max(np.abs(m_dense)))   # cg_tol=1e-6 floor
+    # unknown kernel still raises a clear error
+    with pytest.raises(ValueError, match="Unknown kernel"):
+        PolyagammaGPClassifier(kernel="nope").fit(X, y)
