@@ -132,7 +132,9 @@ class EFGP:
             max_cg_iter=self.opts.get("max_cg_iterations"),
             beta0=beta0,
             use_precond=self.opts.get("mean_cg_preconditioner", True),
-            nufft_method=self.opts.get("nufft_method", "mxu"))
+            nufft_method=self.opts.get("nufft_method", "mxu"),
+            solver=self.opts.get("solver", "auto"),
+            precond_rank=self.opts.get("precond_rank", 0))
         self._fitted_raw = np.asarray(self.params.raw).copy()
         return self
 
@@ -246,6 +248,8 @@ class EFGP:
             use_trace_precond=self.opts.get("trace_cg_preconditioner", True),
             nufft_method=self.opts.get("nufft_method", "mxu"),
             nufft_caps=nufft_caps,
+            solver=self.opts.get("solver", "auto"),
+            precond_rank=self.opts.get("precond_rank", 0),
             probes=probes, compute_log_marginal=compute_log_marginal,
             log_marginal_probes=log_marginal_probes,
             log_marginal_steps=log_marginal_steps)
@@ -320,6 +324,8 @@ class EFGP:
                   use_trace_precond=self.opts.get("trace_cg_preconditioner",
                                                   True),
                   nufft_method=self.opts.get("nufft_method", "mxu"),
+                  solver=self.opts.get("solver", "auto"),
+                  precond_rank=self.opts.get("precond_rank", 0),
                   **gkwargs)
 
         # the fused step closes over tx, so a fresh jit per optimize()

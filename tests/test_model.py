@@ -161,3 +161,28 @@ def test_model_generic_nu_matern_matches_dense(rng):
     # Matérn spectral tails are algebraic, so the quadrature (not the
     # Bessel-K evaluation, good to ~1e-12) dominates this gap
     assert np.abs(np.asarray(mu) - mu_d).max() < 1e-3
+
+
+def test_precond_rank_option(rng):
+    """opts['precond_rank'] routes the facade's fit and gradients through
+    the deflation preconditioner (ops/deflation.py) on the CG branch."""
+    n = 2500
+    x = rng.uniform(0, 1, (n, 2))
+    y = np.sin(5 * x[:, 0]) + 0.1 * rng.normal(size=n)
+    from gpquad.models.model import EFGP
+    m0 = EFGP(jnp.asarray(x), jnp.asarray(y), "SE", sigmasq=0.01, eps=1e-4,
+              opts={"solver": "cg"})
+    m1 = EFGP(jnp.asarray(x), jnp.asarray(y), "SE", sigmasq=0.01, eps=1e-4,
+              opts={"solver": "cg", "precond_rank": 128})
+    # same planned grid/hypers -> comparable gradients through the FORCED
+    # CG branch (auto would take the dense tier at this small M)
+    m1.params = m0.params
+    # converged solves (loose CG leaves percent-level trace-term gaps
+    # between preconditioners - docs/CONDITIONING.md)
+    g0 = np.asarray(m0.compute_gradients(trace_samples=4, cg_tol=1e-9,
+                                         key=jax.random.PRNGKey(0)))
+    g1 = np.asarray(m1.compute_gradients(trace_samples=4, cg_tol=1e-9,
+                                         key=jax.random.PRNGKey(0)))
+    assert np.allclose(g0, g1, rtol=1e-4, atol=1e-6)
+    m1.fit()
+    assert m1._state.defl_P is not None
