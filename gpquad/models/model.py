@@ -332,11 +332,24 @@ class EFGP:
         # call would recompile everything (the unfused path's
         # gradient_with_grid cache is module-level).  Cache the compiled
         # step on the instance keyed by everything that shapes the trace.
+        def _keyable(v):
+            # array-valued kwargs (e.g. fixed probes) get BAKED into the
+            # compiled step as constants; their str() is truncated, so a
+            # value-based key could silently reuse a step compiled with
+            # DIFFERENT array contents — never cache across those
+            if isinstance(v, (jnp.ndarray, np.ndarray)) \
+                    or (isinstance(v, (tuple, list))
+                        and any(isinstance(e, (jnp.ndarray, np.ndarray))
+                                for e in v)):
+                raise TypeError("array-valued option")
+            return str(v)
+
         try:
             cache_key = (type(tx).__name__, lr if isinstance(optimizer, str)
                          else id(optimizer), min_lengthscale, str(rdtype),
-                         tuple(sorted((k, str(v)) for k, v in gw.items())))
-        except Exception:
+                         tuple(sorted((k, _keyable(v))
+                                      for k, v in gw.items())))
+        except TypeError:
             cache_key = None
         cached = getattr(self, "_fused_step_cache", None)
         if cache_key is not None and cached is not None \
