@@ -528,8 +528,16 @@ def main():
     # the full n=1e5 problem
     from gpquad.models.model import EFGP
     efgp_model = EFGP(x, y, "SE", sigmasq=float(sigmasq), eps=eps)
-    efgp_model.optimize_hyperparameters(max_iters=1, lr=0.05,
+    raw0 = efgp_model.params.raw
+    key0 = jax.random.PRNGKey(7)
+    # warm the EXACT trajectory (same start params + key => same bucket
+    # rungs) so the timed run measures steady-state, not whichever rung
+    # recompile happens to land mid-window
+    efgp_model.key = key0
+    efgp_model.optimize_hyperparameters(max_iters=20, lr=0.05,
                                         trace_samples=args.trace_samples)
+    efgp_model.params = efgp_model.params.replace_raw(raw0)
+    efgp_model.key = key0
     t0 = time.time()
     efgp_model.optimize_hyperparameters(max_iters=20, lr=0.05,
                                         trace_samples=args.trace_samples)
