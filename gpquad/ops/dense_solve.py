@@ -97,7 +97,7 @@ def dense_inverse(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
-                 passes: int = 3, tol: float = 1e-6,
+                 passes: int = 4, tol: float = 1e-6,
                  x0: Optional[jnp.ndarray] = None,
                  scale: Optional[jnp.ndarray] = None,
                  check: bool = True) -> CGResult:
@@ -113,6 +113,11 @@ def refine_solve(A: jnp.ndarray, P: jnp.ndarray, b: jnp.ndarray, *,
     (cheap, dense) matvec so callers report honest convergence.
     ``check=False`` skips that extra matvec (resnorm reported as 0 /
     converged) for hot paths that discard the diagnostics.
+
+    Default ``passes=4``: on the bench headline config the relative
+    residual goes 6.1e-6 (3 passes) -> 6.4e-7 (4) -> 6.1e-7 floor (6) —
+    three passes stop an order above the f32 floor, and a pass is one
+    O(M^2) matmul.
     """
     single = b.ndim == 1
     B = jnp.atleast_2d(b)
