@@ -125,3 +125,33 @@ def test_fit_high_iterative_precond_rank(rng):
     m1 = np.asarray(predict_mean_high(hs1, xn))
     assert np.allclose(m1, m0, rtol=1e-8, atol=1e-10)
     assert int(hs1.state.mean_cg_iters) < int(hs0.state.mean_cg_iters)
+
+
+def test_deflation_with_bucketed_mask(rng):
+    """Deflation composes with bucketed grids: masked (zero-weight) nodes
+    never enter the head block, and the deflated gradient equals the
+    Jacobi gradient on the same masked grid (the fused hyper-learning
+    step uses exactly this combination)."""
+    from gpquad.models.gradient import gradient_with_grid
+    from gpquad.quadrature import bucket_mtot, flat_grid_mask
+    n, d, ell, sigmasq = 3000, 2, 0.05, 0.01
+    x = jnp.asarray(rng.uniform(0, 1, (n, d)))
+    y = jnp.asarray(np.sin(5 * np.asarray(x[:, 0]))
+                    + 0.1 * rng.normal(size=n))
+    kern = SquaredExponential(lengthscale=ell, variance=1.0, dimension=d)
+    hm = 16
+    mtot = bucket_mtot(2 * hm + 1)
+    assert mtot > 2 * hm + 1          # real padding
+    h = jnp.asarray(1.0 / (ell * mtot))
+    mask = flat_grid_mask(mtot, d, hm, dtype=x.dtype)
+    key = jax.random.PRNGKey(2)
+    g0 = gradient_with_grid(x, y, kern, sigmasq, h, key, mtot=mtot,
+                            trace_samples=4, cg_tol=1e-9,
+                            max_cg_iter=4000, solver="cg", ws_mask=mask)
+    g1 = gradient_with_grid(x, y, kern, sigmasq, h, key, mtot=mtot,
+                            trace_samples=4, cg_tol=1e-9,
+                            max_cg_iter=4000, solver="cg", ws_mask=mask,
+                            precond_rank=200)
+    assert np.allclose(np.asarray(g1.grad), np.asarray(g0.grad),
+                       rtol=1e-4, atol=1e-8)
+    assert int(g1.mean_cg_iters) <= int(g0.mean_cg_iters)
