@@ -26,8 +26,8 @@ import numpy as np
 __all__ = [
     "data_dir", "load_era5", "load_oisst", "load_oisst_grid",
     "load_prism_dataset", "load_prism", "load_roads", "load_taxi",
-    "load_co2", "load_synthetic_gp", "load_usa_temp",
-    "load_spatial_transcriptomics",
+    "load_co2", "load_synthetic_gp", "load_usa_temp", "load_world_temp",
+    "load_europe_pm25", "load_spatial_transcriptomics",
 ]
 
 
@@ -302,6 +302,70 @@ def load_usa_temp(path=None, standardize=True):
         x = (x - x.min(axis=0)) / (x.max(axis=0) - x.min(axis=0))
         y = (y - y.mean()) / y.std()
     return x, y
+
+
+def _find(candidates):
+    return next((c for c in candidates if c.exists()), None)
+
+
+def load_world_temp(path=None, standardize=True, n_sub=None, seed=0):
+    """Worldwide station temperatures: (n, 2) lat/lon + temp °C, n=12396 —
+    the REAL dataset behind the reference's world temperature map demo
+    (reference "Weather Data/datapull.ipynb" cell 11 builds
+    ``world_temp_data.pt`` = {x: [lat, lon], y: temp_c}; consumed by
+    ``simple_temp_map.py``-style plots).  Same normalization contract as
+    :func:`load_usa_temp`: x min-max scaled to the unit square, y
+    standardized.
+    """
+    p = _find([Path(path)] if path is not None else [
+        data_dir() / "world_temp_data.pt",
+        Path(__file__).resolve().parents[2] / "data" / "world_temp_data.pt",
+        Path("/root/reference/data/world_temp_data.pt"),
+    ])
+    if p is None:
+        raise FileNotFoundError("world_temp_data.pt not found")
+    import torch
+    data = torch.load(p, map_location="cpu", weights_only=False)
+    x = np.asarray(data["x"], np.float64)
+    y = np.asarray(data["y"], np.float64)
+    if standardize:
+        x = (x - x.min(axis=0)) / (x.max(axis=0) - x.min(axis=0))
+        y = (y - y.mean()) / y.std()
+    return _subsample(x, y, n_sub, seed)
+
+
+def load_europe_pm25(path=None, standardize=True, log_target=True,
+                     n_sub=None, seed=0):
+    """European PM2.5 air-quality readings: (n, 2) lon/lat + PM2.5,
+    n=3762 — the REAL dataset the reference's Europe map demo pulls
+    (reference "Weather Data/datapull.ipynb" cells 4-6: OpenAQ readings
+    filtered to European bounds, saved as ``X_europe.pt``/``y_europe.pt``,
+    visualized on a LogNorm scale).  PM2.5 is heavy-tailed, so the target
+    defaults to standardized ``log1p(y)`` (the reference plots LogNorm for
+    the same reason); pass ``log_target=False`` for raw readings.
+    """
+    roots = ([Path(path)] if path is not None else [
+        data_dir(),
+        Path(__file__).resolve().parents[2] / "data",
+        Path("/root/reference/data"),
+    ])
+    root = next((r for r in roots if (r / "X_europe.pt").exists()
+                 and (r / "y_europe.pt").exists()), None)
+    if root is None:
+        raise FileNotFoundError("X_europe.pt / y_europe.pt not found")
+    import torch
+    x = np.asarray(torch.load(root / "X_europe.pt", map_location="cpu",
+                              weights_only=False), np.float64)
+    y = np.asarray(torch.load(root / "y_europe.pt", map_location="cpu",
+                              weights_only=False), np.float64)
+    keep = y > 0  # a handful of non-physical non-positive readings
+    x, y = x[keep], y[keep]
+    if log_target:
+        y = np.log1p(y)
+    if standardize:
+        x = (x - x.min(axis=0)) / (x.max(axis=0) - x.min(axis=0))
+        y = (y - y.mean()) / y.std()
+    return _subsample(x, y, n_sub, seed)
 
 
 # ---------------------------------------------------------------------------
