@@ -52,6 +52,37 @@ def test_usa_temp_efgp_anchor():
     assert rmse > 0.35, f"suspiciously low ({rmse}) — split or data changed"
 
 
+def test_world_temp_efgp_anchor():
+    """Second real-data anchor: worldwide station temperatures (n=12396,
+    reference "Weather Data/datapull.ipynb" cell 11), at the hypers the
+    committed shootout learned (experiments/world_temp_shootout.json:
+    EFGP val-RMSE 0.2148 vs dense-on-4000-subsample 0.2340 vs SKI
+    0.2508 at 20 Adam iters)."""
+    from gpquad.utils.loaders import load_world_temp
+    try:
+        x_all, y_all = load_world_temp()
+    except FileNotFoundError:
+        pytest.skip("world_temp_data.pt not available")
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(y_all))
+    n_val = int(round(0.2 * len(y_all)))
+    vi, ti = perm[:n_val], perm[n_val:]
+    x = jnp.asarray(x_all[ti])
+    y = jnp.asarray(y_all[ti])
+    xv = jnp.asarray(x_all[vi])
+    ls, var, noise = 0.0320, 3.8211, 0.0371
+    kernel = SquaredExponential(lengthscale=jnp.float64(ls),
+                                variance=jnp.float64(var), dimension=2)
+    _, h, mtot = spectral_grid(kernel, 1e-4, 1.0)
+    st = fit_with_grid(x, y, kernel, jnp.float64(noise), jnp.float64(h),
+                       int(mtot), cg_tol=1e-6, max_cg_iter=3000)
+    mean = predict_mean(st, xv)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - y_all[vi]) ** 2)))
+    # frozen anchor: 0.2148 from the shootout; allow solver/backend jitter
+    assert rmse < 0.23, rmse
+    assert rmse > 0.18, f"suspiciously low ({rmse}) — split or data changed"
+
+
 def test_spatial_transcriptomics_pg_anchor():
     """PG classifier real-data anchor: Slc17a7 spatial transcriptomics
     (the dataset behind the reference's PG demo,
