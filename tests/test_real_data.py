@@ -83,6 +83,37 @@ def test_world_temp_efgp_anchor():
     assert rmse > 0.18, f"suspiciously low ({rmse}) — split or data changed"
 
 
+def test_europe_pm25_efgp_anchor():
+    """Third real-data anchor: European PM2.5 (reference "Weather Data/
+    datapull.ipynb" cells 4-6), at the hypers the committed shootout
+    learned (experiments/europe_pm25_shootout.json: EFGP 0.8844 ==
+    full-data dense ceiling 0.8845 == SKI 0.8836 — the log1p target is
+    noise-dominated, so matching the exact GP is the whole game)."""
+    from gpquad.utils.loaders import load_europe_pm25
+    try:
+        x_all, y_all = load_europe_pm25()
+    except FileNotFoundError:
+        pytest.skip("X_europe.pt / y_europe.pt not available")
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(y_all))
+    n_val = int(round(0.2 * len(y_all)))
+    vi, ti = perm[:n_val], perm[n_val:]
+    x = jnp.asarray(x_all[ti])
+    y = jnp.asarray(y_all[ti])
+    xv = jnp.asarray(x_all[vi])
+    ls, var, noise = 0.0367, 1.2186, 0.8268
+    kernel = SquaredExponential(lengthscale=jnp.float64(ls),
+                                variance=jnp.float64(var), dimension=2)
+    _, h, mtot = spectral_grid(kernel, 1e-4, 1.0)
+    st = fit_with_grid(x, y, kernel, jnp.float64(noise), jnp.float64(h),
+                       int(mtot), cg_tol=1e-6, max_cg_iter=2000)
+    mean = predict_mean(st, xv)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - y_all[vi]) ** 2)))
+    # frozen anchor: 0.8844 from the shootout
+    assert rmse < 0.92, rmse
+    assert rmse > 0.85, f"suspiciously low ({rmse}) — split or data changed"
+
+
 def test_spatial_transcriptomics_pg_anchor():
     """PG classifier real-data anchor: Slc17a7 spatial transcriptomics
     (the dataset behind the reference's PG demo,
