@@ -372,7 +372,45 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     return nufft.type2(est_sums).real
 
 
-def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
+def _auto_chebyshev_nodes(state: FitState, x_new, *, mass: float = 0.999,
+                          c: float = 4.0, floor: int = 20, cap: int = 96):
+    """Per-dimension Chebyshev node counts from the variance surface's
+    effective bandwidth.
+
+    The posterior variance is a trigonometric polynomial in x whose
+    spectral mass lives where the quadrature weights do, so the per-dim
+    bandwidth B = (ws^2-weighted ``mass``-quantile of |xi_dim|) bounds how
+    fast it can vary; Chebyshev interpolation of e^{2 pi i B x} over a
+    width-W window needs ~pi nodes per wavelength, i.e. N ~ 2 pi B W.
+    Empirical calibration across SE/Matern(3/2, 5/2) at lengthscales
+    0.16-0.35 gives N = ceil(2 c B W) with c = 4.0 reaching <=1e-3
+    relative error (the fixed default of 20 was >7% off at
+    lengthscale ~0.16 for Matern-3/2 and 5/2).  Heavy-tailed spectra
+    (Matern-1/2 at very short lengthscale) can need more than ``cap``
+    nodes; the dispatcher falls back to exact per-target solves when the
+    auto grid would be no smaller than the target set anyway."""
+    m = (state.mtot - 1) // 2
+    xis1 = np.arange(-m, m + 1) * float(state.h)
+    # |ws|^2 computed inside jit: axon cannot transfer complex arrays
+    # host<->device, but the squared magnitude is real.
+    w2 = np.asarray(jax.jit(lambda w: jnp.abs(w) ** 2)(state.ws))
+    w2 = w2.reshape((state.mtot,) * state.d)
+    xh = np.asarray(x_new)
+    order = np.argsort(np.abs(xis1))
+    fsorted = np.abs(xis1)[order]
+    out = []
+    for dim in range(state.d):
+        axes = tuple(i for i in range(state.d) if i != dim)
+        wdim = w2.sum(axis=axes) if axes else w2
+        cs = np.cumsum(wdim[order])
+        B = fsorted[min(int(np.searchsorted(cs, mass * cs[-1])),
+                        len(fsorted) - 1)]
+        W = float(xh[:, dim].max() - xh[:, dim].min())
+        out.append(int(np.clip(np.ceil(2.0 * c * B * W), floor, cap)))
+    return out
+
+
+def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim,
                         cg_tol, max_cg_iter) -> jnp.ndarray:
     """Chebyshev-Lobatto tensor-grid variance, barycentric-interpolated to
     the targets.
@@ -381,12 +419,20 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
     (reference pg_classifier.py:879-1009) to EFGP regression, per SURVEY
     §7-S5: the posterior variance is a smooth function of the target
     location, so the exact per-target solves run only at
-    ``n_nodes_per_dim^d`` Chebyshev nodes and targets interpolate — for
-    10k 2-D targets this cuts the CG batch ~25x at ~1e-3 accuracy.
+    ``prod(n_nodes_per_dim)`` Chebyshev nodes and targets interpolate —
+    for 10k 2-D targets this cuts the CG batch ~25x at ~1e-3 accuracy.
+    ``n_nodes_per_dim`` may be an int, a per-dim sequence, or None
+    (bandwidth-adaptive via :func:`_auto_chebyshev_nodes`).
     """
     from .pg_core import barycentric_matrix, chebyshev_lobatto_nodes
     xh = np.asarray(x_new)
     d = xh.shape[1]
+    if n_nodes_per_dim is None:
+        n_per_dim = _auto_chebyshev_nodes(state, x_new)
+    elif np.ndim(n_nodes_per_dim) == 0:
+        n_per_dim = [int(n_nodes_per_dim)] * d
+    else:
+        n_per_dim = [int(v) for v in n_nodes_per_dim]
     axes_nodes, mats = [], []
     for dim in range(d):
         coord = xh[:, dim]
@@ -394,14 +440,14 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
         if np.isclose(lo, hi):
             pad = max(abs(lo), 1.0) * 1e-6
             lo, hi = lo - pad, hi + pad
-        nodes, weights = chebyshev_lobatto_nodes(lo, hi, n_nodes_per_dim)
+        nodes, weights = chebyshev_lobatto_nodes(lo, hi, n_per_dim[dim])
         mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord),
                                 dtype=x_new.dtype))
         axes_nodes.append(nodes)
     mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
     node_var = _variance_regular(state, jnp.asarray(mesh, x_new.dtype),
                                  cg_tol=cg_tol, max_cg_iter=max_cg_iter)
-    node_grid = node_var.reshape((n_nodes_per_dim,) * d)
+    node_grid = node_var.reshape(tuple(n_per_dim))
     letters = "abcdefghij"[:d]
     expr = ",".join(f"n{c}" for c in letters) + "," + letters + "->n"
     return jnp.maximum(jnp.einsum(expr, *mats, node_grid), 0.0)
@@ -410,7 +456,7 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim: int,
 def predict_var(state: FitState, x_new, *, method: str = "stochastic",
                 key=None, probes: int = 1000, cg_tol: float = 1e-4,
                 max_cg_iter: int = 1000, microbatch: int = 8192,
-                chebyshev_nodes: int = 20,
+                chebyshev_nodes=None,
                 nufft_method: str = "mxu", etas=None) -> jnp.ndarray:
     """Posterior variance dispatch (reference compute_prediction_variance,
     efgpnd.py:1761-1841, plus the Chebyshev mode generalized from the PG
@@ -429,6 +475,16 @@ def predict_var(state: FitState, x_new, *, method: str = "stochastic",
                                     cg_tol=cg_tol, max_cg_iter=max_cg_iter,
                                     nufft_method=nufft_method, etas=etas)
     if method == "chebyshev":
+        if chebyshev_nodes is None:
+            auto = _auto_chebyshev_nodes(state, x_new)
+            # When the auto-sized node grid is no smaller than the target
+            # set, per-target exact solves are both cheaper and exact —
+            # fall through to the regular path instead of interpolating.
+            if int(np.prod(auto)) >= x_new.shape[0]:
+                return _variance_regular(state, x_new, cg_tol=cg_tol,
+                                         max_cg_iter=max_cg_iter,
+                                         microbatch=microbatch)
+            chebyshev_nodes = auto
         return _variance_chebyshev(state, x_new,
                                    n_nodes_per_dim=chebyshev_nodes,
                                    cg_tol=cg_tol, max_cg_iter=max_cg_iter)

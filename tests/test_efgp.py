@@ -162,6 +162,27 @@ def test_variance_chebyshev_matches_regular(rng):
     assert np.max(np.abs(v_cheb - v_reg)) < 2e-3 * np.max(v_reg)
 
 
+def test_variance_chebyshev_auto_nodes_on_rough_kernel(rng):
+    """Bandwidth-adaptive node selection (chebyshev_nodes=None) resolves a
+    rough short-lengthscale Matern-3/2 variance field that the old fixed
+    default of 20 nodes visibly under-resolves."""
+    from gpquad.kernels import Matern
+    kernel = Matern(lengthscale=0.16, variance=1.0, nu=1.5, dimension=1)
+    x, y = make_data(rng, n=150, d=1, lengthscale=0.16, variance=1.0)
+    state = fit(x, y, kernel, 0.1, 1e-3, cg_tol=1e-10)
+    xnew = jnp.linspace(0.1, 0.9, 200)[:, None]
+    v_reg = np.asarray(predict_var(state, xnew, method="regular",
+                                   cg_tol=1e-10))
+    v_auto = np.asarray(predict_var(state, xnew, method="chebyshev",
+                                    chebyshev_nodes=None, cg_tol=1e-10))
+    v_fixed20 = np.asarray(predict_var(state, xnew, method="chebyshev",
+                                       chebyshev_nodes=20, cg_tol=1e-10))
+    err_auto = np.max(np.abs(v_auto - v_reg)) / np.max(v_reg)
+    err_fixed = np.max(np.abs(v_fixed20 - v_reg)) / np.max(v_reg)
+    assert err_auto < 2e-3
+    assert err_auto < err_fixed
+
+
 def test_2d_mean_and_variance(rng):
     kernel = SquaredExponential(lengthscale=0.4, variance=1.0, dimension=2)
     x, y = make_data(rng, n=200, d=2, lengthscale=0.4, variance=1.0)
