@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["logdet_slq", "lanczos_tridiag"]
+__all__ = ["logdet_slq", "lanczos_tridiag", "slq_trace_f", "power_iteration",
+           "trace_ainv_b_fd"]
 
 _BREAKDOWN = 1e-12
 
@@ -74,16 +75,125 @@ def logdet_slq(ws, sigmasq, toeplitz, key, *, probes: int = 100,
         return v + (ws * toeplitz(ws * v)) / sigmasq.astype(v.dtype)
 
     alphas, betas = lanczos_tridiag(Av, q0, steps)
+    quad = _gauss_quadrature(alphas, betas, jnp.log) * znorm**2
+    return jnp.mean(quad) + n * jnp.log(sigmasq)
 
-    # assemble tridiagonals (probes, steps, steps) and take Gauss quadrature
-    T = (jnp.zeros((probes, steps, steps), rdtype)
+
+def _gauss_quadrature(alphas, betas, f):
+    """Per-probe Gauss quadrature ``e1' f(T) e1`` from Lanczos coefficients.
+
+    ``alphas``/``betas``: (B, steps) tridiagonal coefficients.  Returns (B,)
+    quadrature values for *unit-norm* starting vectors (scale by ||z||^2 for
+    Hutchinson probes).  Eigenvalue floor 1e-18 follows the reference
+    (efgpnd.py:1753; SLQ_trace.ipynb quad_from_tridiag).
+    """
+    B, steps = alphas.shape
+    T = (jnp.zeros((B, steps, steps), alphas.dtype)
          .at[:, jnp.arange(steps), jnp.arange(steps)].set(alphas))
     if steps > 1:
         i = jnp.arange(steps - 1)
         T = T.at[:, i, i + 1].set(betas[:, :-1])
         T = T.at[:, i + 1, i].set(betas[:, :-1])
     evals, evecs = jnp.linalg.eigh(T)
-    evals = jnp.maximum(evals, 1e-18)     # reference eigenvalue floor,
-    w1 = evecs[:, 0, :]                   # efgpnd.py:1753
-    quad = jnp.sum(w1**2 * jnp.log(evals), axis=-1) * znorm**2
-    return jnp.mean(quad) + n * jnp.log(sigmasq)
+    evals = jnp.maximum(evals, 1e-18)
+    w1 = evecs[:, 0, :]
+    return jnp.sum(w1**2 * f(evals), axis=-1)
+
+
+def _rademacher(key, probes, m, dtype):
+    z = (jax.random.bernoulli(key, 0.5, (probes, m)) * 2 - 1).astype(dtype)
+    znorm = jnp.sqrt(jnp.sum(z * z, axis=-1))
+    return z, znorm
+
+
+def slq_trace_f(Av: Callable, key, m: int, *, probes: int = 8,
+                steps: int = 20, f: Callable = lambda x: 1.0 / x,
+                dtype=jnp.float32, batched: bool = False) -> jnp.ndarray:
+    """Hutchinson + Lanczos estimate of ``tr(f(A))`` for SPD ``A``.
+
+    TPU-native counterpart of the reference's generic ``slq_trace_f``
+    (polyagamma_classification/SLQ_trace.ipynb, helper cell): all probes run
+    in one vmapped ``lax.scan`` Lanczos and one batched eigendecomposition.
+    ``Av`` maps a single (m,) vector; pass ``batched=True`` if it already
+    maps (B, m) stacks (e.g. the batched Toeplitz matvec).  Default
+    ``f = 1/x`` estimates ``tr(A^{-1})``.  Callers jit this (the probe loop
+    and eigh fuse into one program); it is also jit-safe inline.
+    """
+    Avb = Av if batched else jax.vmap(Av)
+    z, znorm = _rademacher(key, probes, m, dtype)
+    q0 = z / znorm[:, None]
+    alphas, betas = lanczos_tridiag(Avb, q0, steps)
+    return jnp.mean(_gauss_quadrature(alphas, betas, f) * znorm**2)
+
+
+def power_iteration(Av: Callable, key, m: int, *, iters: int = 8,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Operator-norm estimate by power iteration (SLQ_trace.ipynb helper)."""
+    x = jax.random.normal(key, (m,), dtype)
+    x = x / jnp.linalg.norm(x)
+
+    def body(x, _):
+        y = Av(x)
+        ny = jnp.linalg.norm(y)
+        return y / jnp.where(ny == 0, 1.0, ny), ny
+
+    x, _ = lax.scan(body, x, None, length=iters)
+    return jnp.linalg.norm(Av(x))
+
+
+def trace_ainv_b_fd(A_apply: Callable, B_apply: Callable, key, m: int, *,
+                    probes: int = 8, steps: int = 20, c: float = 5.0,
+                    max_halves: int = 8, dtype=jnp.float32,
+                    batched: bool = False):
+    """Estimate ``tr(A^{-1} B)`` for SPD ``A``, symmetric ``B``, matvecs only.
+
+    Uses the directional-logdet identity ``tr(A^{-1}B) = d/dh log det(A+hB)``
+    evaluated by central finite difference of two SLQ log-dets sharing the
+    same Rademacher probes, with the automatic step
+    ``h = c sqrt(eps) ||A|| / ||B||`` halved (up to ``max_halves`` times,
+    inside ``lax.while_loop``) until ``A ± hB`` pass a two-probe Rayleigh
+    SPD check — the reference's ``estimate_trace_AinvB_via_FD`` /
+    ``estimate_h`` (polyagamma_classification/SLQ_trace.ipynb).
+    ``A_apply``/``B_apply`` map single (m,) vectors unless ``batched=True``.
+
+    Returns ``(estimate, h)``.
+    """
+    if batched:
+        A1 = lambda v: A_apply(v[None, :])[0]
+        B1 = lambda v: B_apply(v[None, :])[0]
+    else:
+        A1, B1 = A_apply, B_apply
+        A_apply, B_apply = jax.vmap(A_apply), jax.vmap(B_apply)
+    kA, kB, kS, kZ = jax.random.split(key, 4)
+    A_norm = power_iteration(A1, kA, m, dtype=dtype)
+    B_norm = power_iteration(B1, kB, m, dtype=dtype)
+    eps = jnp.finfo(dtype).eps
+    h0 = c * jnp.sqrt(eps) * A_norm / jnp.where(B_norm == 0, 1.0, B_norm)
+
+    r = jax.random.normal(kS, (2, m), dtype)
+    r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+
+    def spd_ok(h):
+        Ar, Br = A_apply(r), B_apply(r)
+        quad_a = jnp.sum(r * Ar, axis=-1)
+        quad_b = jnp.sum(r * Br, axis=-1)
+        return jnp.all(quad_a + h * quad_b > 0) & \
+            jnp.all(quad_a - h * quad_b > 0)
+
+    def cond(carry):
+        h, halves = carry
+        return (~spd_ok(h)) & (halves < max_halves)
+
+    h, _ = lax.while_loop(cond, lambda ch: (ch[0] * 0.5, ch[1] + 1),
+                          (h0, jnp.asarray(0)))
+
+    z, znorm = _rademacher(kZ, probes, m, dtype)
+    q0 = z / znorm[:, None]
+
+    def logdet(sign):
+        def Av(v):
+            return A_apply(v) + sign * h * B_apply(v)
+        alphas, betas = lanczos_tridiag(Av, q0, steps)
+        return jnp.mean(_gauss_quadrature(alphas, betas, jnp.log) * znorm**2)
+
+    return (logdet(1.0) - logdet(-1.0)) / (2.0 * h), h

@@ -222,6 +222,62 @@ def test_slq_logdet_matches_dense(rng):
     assert abs(got - want) / abs(want) < 0.05, (got, want)
 
 
+def _dummy_slq_problem(rng, n=300, M=6):
+    """Low-rank-plus-jitter SPD pair (A, B) from the reference's SLQ demo
+    (polyagamma_classification/SLQ_trace.ipynb, dummy-problem cell)."""
+    F = rng.normal(size=(n, M)) / np.sqrt(n)
+    w = np.exp(np.linspace(0, 2.0, M))
+    W = F * w
+    A = np.eye(n) + W @ W.T + 1e-8 * np.eye(n)
+    b = np.exp(np.linspace(0, 1.5, M))
+    J = F * b
+    B = W @ J.T + J @ W.T
+    return jnp.asarray(A), jnp.asarray(B)
+
+
+def test_slq_trace_inv_matches_dense(rng):
+    from gpquad.ops.slq import slq_trace_f
+    A, _ = _dummy_slq_problem(rng)
+    got = float(slq_trace_f(lambda v: A @ v, jax.random.PRNGKey(0),
+                            A.shape[0], probes=64, steps=30,
+                            dtype=jnp.float64))
+    want = float(np.trace(np.linalg.inv(np.asarray(A))))
+    assert abs(got - want) / abs(want) < 0.02, (got, want)
+
+
+def test_slq_trace_logdet_matches_dense(rng):
+    from gpquad.ops.slq import slq_trace_f
+    A, _ = _dummy_slq_problem(rng)
+    # log(A) has only M non-unit eigenvalues -> high per-probe Hutchinson
+    # variance; 512 probes brings the seed spread within a few percent.
+    got = float(slq_trace_f(lambda v: A @ v, jax.random.PRNGKey(1),
+                            A.shape[0], probes=512, steps=30, f=jnp.log,
+                            dtype=jnp.float64))
+    _, want = np.linalg.slogdet(np.asarray(A))
+    assert abs(got - want) / max(abs(want), 1.0) < 0.05, (got, want)
+
+
+def test_power_iteration_matches_dense(rng):
+    from gpquad.ops.slq import power_iteration
+    A, _ = _dummy_slq_problem(rng)
+    got = float(power_iteration(lambda v: A @ v, jax.random.PRNGKey(2),
+                                A.shape[0], iters=30, dtype=jnp.float64))
+    want = float(np.linalg.eigvalsh(np.asarray(A)).max())
+    assert abs(got - want) / want < 0.01, (got, want)
+
+
+def test_trace_ainv_b_fd_matches_dense(rng):
+    from gpquad.ops.slq import trace_ainv_b_fd
+    A, B = _dummy_slq_problem(rng)
+    est, h = trace_ainv_b_fd(lambda v: A @ v, lambda v: B @ v,
+                             jax.random.PRNGKey(3), A.shape[0],
+                             probes=64, steps=30, dtype=jnp.float64)
+    est, h = float(est), float(h)
+    want = float(np.trace(np.linalg.solve(np.asarray(A), np.asarray(B))))
+    assert h > 0
+    assert abs(est - want) / abs(want) < 0.05, (est, want, h)
+
+
 def test_noise_floor(rng):
     x, y, kernel = _setup(rng, n=50)
     res_floor = gradient(x, y, kernel, 1e-8, 1e-3, jax.random.PRNGKey(0),
