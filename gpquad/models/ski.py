@@ -31,6 +31,8 @@ import optax
 
 from ..kernels import make_kernel
 from ..ops.cg import pcg
+from ..ops.pallas_interp import _on_tpu as _pallas_on_tpu
+from ..ops.pallas_interp import pallas_interp_T_2d
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
 
 __all__ = ["SKIOperator", "build_ski_operator", "fit_ski_gp",
@@ -114,6 +116,40 @@ import dataclasses
 from typing import NamedTuple
 
 _BANDED_BH = 8          # band height (rows); slab height is BH + 3
+
+# interp_T backend for the banded plan: "einsum" (XLA banded-dense),
+# "pallas" (VMEM-resident one-hot selectors, ops/pallas_interp.py), or
+# "auto" (pallas on TPU, einsum elsewhere).
+_INTERP_IMPL = "auto"
+
+
+def set_interp_impl(impl: str) -> None:
+    """Select the banded ``interp_T`` backend ("auto"/"einsum"/"pallas")."""
+    global _INTERP_IMPL
+    if impl not in ("auto", "einsum", "pallas"):
+        raise ValueError(f"unknown interp impl: {impl!r}")
+    _INTERP_IMPL = impl
+
+
+def _interp_impl() -> str:
+    if _INTERP_IMPL != "auto":
+        return _INTERP_IMPL
+    return "pallas" if _pallas_on_tpu() else "einsum"
+
+
+def _fold_band_slabs(slabs, batch, G1: int, G2: int, bh: int):
+    """Fold each band's 3-row stencil halo into the next band and flatten
+    (B, nbands, bh+3, G2) slabs to (*batch, G1*G2)."""
+    B, nbands = slabs.shape[:2]
+    dt = slabs.dtype
+    core = slabs[:, :, :bh, :]                   # (B, nb, bh, G2)
+    halo = slabs[:, :, bh:, :]                   # (B, nb, 3, G2)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(halo[:, :1]), halo[:, :-1]], axis=1)
+    addend = jnp.concatenate(
+        [shifted, jnp.zeros((B, nbands, bh - 3, G2), dt)], axis=2)
+    fine = (core + addend).reshape(B, nbands * bh, G2)
+    return fine[:, :G1, :].reshape(batch + (G1 * G2,))
 
 
 class BandedInterpTables(NamedTuple):
@@ -209,6 +245,11 @@ class SKIOperator:
         B = ub.shape[0]
         us = ub[:, t.pidx.reshape(-1)].reshape(B, nbands, cap) \
             * t.valid[None].astype(u.dtype)
+        if _interp_impl() == "pallas":
+            slabs = pallas_interp_T_2d(us, t.i0loc, t.c0, t.w_row, t.w_col,
+                                       G1=G1, G2=G2, bh=bh)
+            slabs = jnp.swapaxes(slabs, 0, 1)        # (B, nbands, bh+3, G2)
+            return _fold_band_slabs(slabs, batch, G1, G2, bh)
         rho = jnp.arange(bh + 3, dtype=jnp.int32)
         cols = jnp.arange(G2, dtype=jnp.int32)
 
@@ -250,14 +291,7 @@ class SKIOperator:
         init = jnp.zeros((nbands, B, bh + 3, G2), dt)
         slabs, _ = jax.lax.scan(chunk2, init,
                                 (i0loc_c, c0_c, wr_c, wc_c, us_c))
-        core = slabs[:, :, :bh, :]                   # (nb, B, bh, G2)
-        halo = slabs[:, :, bh:, :]                   # (nb, B, 3, G2)
-        shifted = jnp.concatenate(
-            [jnp.zeros_like(halo[:1]), halo[:-1]], axis=0)
-        addend = jnp.concatenate(
-            [shifted, jnp.zeros((nbands, B, bh - 3, G2), dt)], axis=2)
-        fine = (core + addend).swapaxes(0, 1).reshape(B, nbands * bh, G2)
-        return fine[:, :G1, :].reshape(batch + (G1 * G2,))
+        return _fold_band_slabs(slabs.swapaxes(0, 1), batch, G1, G2, bh)
 
     def matvec(self, v, sigmasq, toeplitz: Optional[ToeplitzND] = None):
         """(W K_g W^T + sigma^2 I) v over the trailing point axis."""

@@ -1,0 +1,141 @@
+"""Pallas bin-sorted transpose-interpolation (SKI W^T, d=2).
+
+``W^T u`` (points -> grid, 4x4 cubic stencils) is SKI's hot op: it runs
+inside every CG iteration (reference fit_ski_gp solves, utils/ski.py:181-401,
+via GPyTorch's InterpolatedLazyTensor._t_matmul scatter).  XLA lowers the
+scatter-add at ~1e8 updates/s (51 ms at n=2e5); the banded-dense rewrite in
+models/ski.py gets ~29 ms but materializes per-chunk one-hot column
+selectors in HBM.  This kernel keeps everything in VMEM:
+
+  per (row-band, column-tile, point-chunk) grid step:
+    A^T[r, p] = w_row[p, r - i0loc[p]]     one-hot row selector  (rows, cc)
+    Wc[p, c]  = w_col[p, c - c0[p]]        one-hot col selector  (cc, tw)
+    slab[b]  += (A^T * u_b) @ Wc           MXU matmul            (rows, tw)
+
+so HBM traffic is one read of the sorted point tables plus one write of the
+band slabs — the one-hot selectors never leave VMEM.  The host-side band
+plan (sort points by stencil base row, pad to a static cap) is shared with
+the banded-dense path (models/ski.py _plan_banded_interp).
+
+Runs in interpreter mode off-TPU so the CPU suite tests it exactly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_interp_T_2d"]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
+                     tw: int):
+    """One (band, col-tile, point-chunk) step; accumulates over chunks."""
+    rows = out_ref.shape[2]
+    cc = i0_ref.shape[1]
+    dt = out_ref.dtype
+    i0 = i0_ref[0, :]
+    c0 = c0_ref[0, :]
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows, cc), 0)
+    At = jnp.zeros((rows, cc), dt)
+    for j in range(4):
+        At = At + wr_ref[0, j, :][None, :].astype(dt) * (
+            riota == (i0 + j)[None, :]).astype(dt)
+
+    col0 = pl.program_id(1) * tw
+    ciota = col0 + jax.lax.broadcasted_iota(jnp.int32, (cc, tw), 1)
+    Wc = jnp.zeros((cc, tw), dt)
+    for j in range(4):
+        Wc = Wc + wc_ref[0, j, :][:, None].astype(dt) * (
+            ciota == (c0 + j)[:, None]).astype(dt)
+
+    # full-precision accumulate: Pallas dots default to bf16-level without
+    # HIGHEST (see ops/pallas_nufft.py)
+    dot = functools.partial(jnp.dot, preferred_element_type=dt,
+                            precision=jax.lax.Precision.HIGHEST)
+    slab = jnp.stack([dot(At * us_ref[0, b, :].astype(dt)[None, :], Wc)
+                      for b in range(us_ref.shape[1])], axis=0)[None]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = slab
+
+    @pl.when(pl.program_id(2) > 0)
+    def _():
+        out_ref[...] += slab
+
+
+@functools.partial(jax.jit, static_argnames=("G1", "G2", "bh", "cc",
+                                             "interpret"))
+def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G1: int, G2: int,
+                       bh: int, cc: int = 512,
+                       interpret: bool | None = None):
+    """Band slabs of ``W^T u`` for d=2 cubic interpolation.
+
+    ``us``: (B, nbands, cap) point values gathered in band order and
+    zeroed where invalid; ``i0loc``: (nbands, cap) int32 local stencil
+    base row in [0, bh) (may be negative/out-of-range for padded entries —
+    they carry zero ``us``); ``c0``: (nbands, cap) int32 global stencil
+    base column; ``w_row``/``w_col``: (nbands, cap, 4) cubic weights.
+
+    Returns slabs (nbands, B, bh+3, G2): per-band core rows plus a 3-row
+    halo that the caller folds into the next band (models/ski.py).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, nbands, cap = us.shape
+    rows = bh + 3
+    dt = us.dtype
+
+    ncc = -(-cap // cc)
+    cap_pad = ncc * cc
+    tw = min(512, -(-G2 // 128) * 128)
+    nct = -(-G2 // tw)
+    g2_pad = nct * tw
+
+    def padc(a, fill=0):
+        if cap_pad == cap:
+            return a
+        pads = [(0, 0), (0, cap_pad - cap)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)   # never matches a row
+    c0_p = padc(c0.astype(jnp.int32), fill=-8)
+    wr_p = jnp.moveaxis(padc(w_row), -1, 1).astype(dt)   # (nbands, 4, cap)
+    wc_p = jnp.moveaxis(padc(w_col), -1, 1).astype(dt)
+    us_p = jnp.swapaxes(us, 0, 1)                        # (nbands, B, cap)
+    if cap_pad != cap:
+        us_p = jnp.pad(us_p, [(0, 0), (0, 0), (0, cap_pad - cap)])
+
+    out = pl.pallas_call(
+        functools.partial(_interp_T_kernel, tw=tw),
+        grid=(nbands, nct, ncc),
+        in_specs=[
+            pl.BlockSpec((1, cc), lambda b, t, c: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, t, c: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cc), lambda b, t, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cc), lambda b, t, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, cc), lambda b, t, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, rows, tw), lambda b, t, c: (b, 0, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbands, B, rows, g2_pad), dt),
+        interpret=interpret,
+    )(i0_p, c0_p, wr_p, wc_p, us_p)
+    return out[..., :G2]

@@ -211,3 +211,28 @@ def test_interp_T_banded_matches_scatter(rng):
     # single-vector path too
     got1 = np.asarray(op.interp_T(u[0]))
     assert np.max(np.abs(got1 - ref[0])) < 1e-10
+
+
+def test_interp_T_pallas_matches_scatter(rng):
+    """The Pallas bin-sorted interp_T (interpret mode on CPU) must equal
+    the scatter-add path up to summation order."""
+    import dataclasses
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.ski import build_ski_operator, set_interp_impl
+    n = 4000
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    kern = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=2)
+    # G2=33+4=37 exercises the column-tile padding; G1=48+4 the band fold
+    op = build_ski_operator(x, kern, (48, 33), ((-1.0, 1.0), (-1.0, 1.0)))
+    assert op.banded is not None
+    u = jnp.asarray(rng.normal(size=(3, n)))
+    ref = np.asarray(dataclasses.replace(op, banded=None).interp_T(u))
+    set_interp_impl("pallas")
+    try:
+        got = np.asarray(op.interp_T(u))
+        got1 = np.asarray(op.interp_T(u[0]))
+    finally:
+        set_interp_impl("auto")
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got1 - ref[0])) < 1e-10
