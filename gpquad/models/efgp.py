@@ -225,11 +225,14 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
 
 def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
         max_cg_iter: Optional[int] = None, beta0=None,
-        use_precond: bool = True) -> FitState:
+        use_precond: bool = True, solver: str = "auto",
+        precond_rank: int = 0) -> FitState:
     """Host-level fit: plan the quadrature grid, then solve.
 
     Grid planning (bisection truncation bounds) follows reference
-    efgpnd.py:750-762 with ``use_integral=True``.
+    efgpnd.py:750-762 with ``use_integral=True``.  ``solver`` "auto"
+    takes the dense factor-solve under DENSE_SOLVER_MAX_M modes (fast on
+    the MXU; prefer "cg" on CPU where a large dense inverse crawls).
     """
     if x.ndim == 1:
         x = x[:, None]
@@ -239,7 +242,8 @@ def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
     _, h, mtot = spectral_grid(kernel, eps, L, use_integral=True)
     return fit_with_grid(x, y, kernel, sigmasq, h, mtot, cg_tol=cg_tol,
                          max_cg_iter=max_cg_iter, beta0=beta0,
-                         use_precond=use_precond)
+                         use_precond=use_precond, solver=solver,
+                         precond_rank=precond_rank)
 
 
 # ---------------------------------------------------------------------------
