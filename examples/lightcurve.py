@@ -103,12 +103,12 @@ def main():
     t_pred = np.asarray(xq) * (t.max() - t.min()) + t.min()
 
     truth_q = 1.0 + np.interp(t_pred, t_all, f_full)
-    on_data = np.zeros(len(t_pred), bool)
+    in_gap = np.zeros(len(t_pred), bool)
     for lo, hi in [(330, 360), (700, 745), (1050, 1080)]:
-        on_data |= (t_pred > lo) & (t_pred < hi)
+        in_gap |= (t_pred > lo) & (t_pred < hi)
     rmse_data = float(np.sqrt(np.mean(
-        (flux_pred - truth_q)[~on_data] ** 2)))
-    rmse_gap = float(np.sqrt(np.mean((flux_pred - truth_q)[on_data] ** 2)))
+        (flux_pred - truth_q)[~in_gap] ** 2)))
+    rmse_gap = float(np.sqrt(np.mean((flux_pred - truth_q)[in_gap] ** 2)))
     print(f"posterior-mean RMSE vs truth: on-data {rmse_data:.5f}, "
           f"in-gap {rmse_gap:.5f} (noise level {noise_sd})")
     assert rmse_data < noise_sd, "smoothing must beat the raw noise level"

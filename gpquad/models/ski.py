@@ -124,7 +124,10 @@ _INTERP_IMPL = "auto"
 
 
 def set_interp_impl(impl: str) -> None:
-    """Select the banded ``interp_T`` backend ("auto"/"einsum"/"pallas")."""
+    """Select the banded ``interp_T`` backend ("auto"/"einsum"/"pallas").
+
+    Read at trace time: jitted callers compiled before a switch keep the
+    backend they were traced with (clear caches or use fresh callables)."""
     global _INTERP_IMPL
     if impl not in ("auto", "einsum", "pallas"):
         raise ValueError(f"unknown interp impl: {impl!r}")
@@ -247,7 +250,7 @@ class SKIOperator:
             * t.valid[None].astype(u.dtype)
         if _interp_impl() == "pallas":
             slabs = pallas_interp_T_2d(us, t.i0loc, t.c0, t.w_row, t.w_col,
-                                       G1=G1, G2=G2, bh=bh)
+                                       G2=G2, bh=bh)
             slabs = jnp.swapaxes(slabs, 0, 1)        # (B, nbands, bh+3, G2)
             return _fold_band_slabs(slabs, batch, G1, G2, bh)
         rho = jnp.arange(bh + 3, dtype=jnp.int32)

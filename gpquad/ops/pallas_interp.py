@@ -76,9 +76,8 @@ def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
         out_ref[...] += slab
 
 
-@functools.partial(jax.jit, static_argnames=("G1", "G2", "bh", "cc",
-                                             "interpret"))
-def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G1: int, G2: int,
+@functools.partial(jax.jit, static_argnames=("G2", "bh", "cc", "interpret"))
+def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G2: int,
                        bh: int, cc: int = 512,
                        interpret: bool | None = None):
     """Band slabs of ``W^T u`` for d=2 cubic interpolation.

@@ -67,8 +67,7 @@ def logdet_slq(ws, sigmasq, toeplitz, key, *, probes: int = 100,
     m = ws.shape[0]
     rdtype = jnp.real(ws).dtype
     sigmasq = jnp.asarray(sigmasq, dtype=rdtype)
-    z = (jax.random.bernoulli(key, 0.5, (probes, m)) * 2 - 1).astype(rdtype)
-    znorm = jnp.sqrt(jnp.sum(z * z, axis=-1))
+    z, znorm = _rademacher(key, probes, m, rdtype)
     q0 = (z / znorm[:, None]).astype(ws.dtype)
 
     def Av(v):
@@ -172,11 +171,11 @@ def trace_ainv_b_fd(A_apply: Callable, B_apply: Callable, key, m: int, *,
 
     r = jax.random.normal(kS, (2, m), dtype)
     r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    # h-independent Rayleigh quotients: 2+2 matvecs once, not per halving
+    quad_a = jnp.sum(r * A_apply(r), axis=-1)
+    quad_b = jnp.sum(r * B_apply(r), axis=-1)
 
     def spd_ok(h):
-        Ar, Br = A_apply(r), B_apply(r)
-        quad_a = jnp.sum(r * Ar, axis=-1)
-        quad_b = jnp.sum(r * Br, axis=-1)
         return jnp.all(quad_a + h * quad_b > 0) & \
             jnp.all(quad_a - h * quad_b > 0)
 

@@ -54,7 +54,7 @@ def main():
         try:
             f = jax.jit(lambda v: operator.interp_T(v))
             out = f(u)
-            _ = float(jnp.sum(jnp.abs(out)))      # compile + settle
+            s = float(jnp.sum(jnp.abs(out)))      # compile + settle
             best = float("inf")
             for _r in range(args.repeats):
                 t0 = time.perf_counter()
