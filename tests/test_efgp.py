@@ -236,3 +236,21 @@ def test_even_mtot_rejected(rng):
     x = jnp.asarray(rng.uniform(size=(10, 2)))
     with pytest.raises(ValueError):
         make_nufft(x, 0.3, 10)
+
+
+def test_fit_solver_passthrough(rng):
+    """fit() forwards solver=/precond_rank=: forced-CG (deflated or not)
+    must agree with the auto dense factor-solve."""
+    kernel = SquaredExponential(lengthscale=0.25, variance=1.0, dimension=2)
+    x = jnp.asarray(rng.uniform(0, 1, (200, 2)))
+    y = jnp.asarray(rng.normal(size=200))
+    s_dense = fit(x, y, kernel, 0.1, eps=1e-3, cg_tol=1e-10)
+    s_cg = fit(x, y, kernel, 0.1, eps=1e-3, cg_tol=1e-10, solver="cg")
+    s_defl = fit(x, y, kernel, 0.1, eps=1e-3, cg_tol=1e-10,
+                 solver="cg", precond_rank=32)
+    assert s_dense.A_dense is not None and s_cg.A_dense is None
+    assert s_defl.defl_P is not None
+    b0 = np.asarray(s_dense.beta)
+    for s in (s_cg, s_defl):
+        assert np.allclose(np.asarray(s.beta), b0, atol=1e-8), \
+            np.abs(np.asarray(s.beta) - b0).max()
