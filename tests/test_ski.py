@@ -236,3 +236,24 @@ def test_interp_T_pallas_matches_scatter(rng):
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
     assert np.max(np.abs(got1 - ref[0])) < 1e-10
+
+
+def test_interp_T_pallas_wide_grid(rng):
+    """Pallas interp_T across >1 column tile (G2 > 512) and >1 point chunk
+    per band (cap > cc)."""
+    import dataclasses
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.ski import build_ski_operator, set_interp_impl
+    n = 3000
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    kern = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=2)
+    # ext grid (12, 604): 2 bands -> cap ~ 1900 > cc, G2=604 -> 2 col tiles
+    op = build_ski_operator(x, kern, (8, 600), ((-1.0, 1.0), (-1.0, 1.0)))
+    u = jnp.asarray(rng.normal(size=(2, n)))
+    ref = np.asarray(dataclasses.replace(op, banded=None).interp_T(u))
+    set_interp_impl("pallas")
+    try:
+        got = np.asarray(op.interp_T(u))
+    finally:
+        set_interp_impl("auto")
+    assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
