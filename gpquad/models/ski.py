@@ -32,7 +32,7 @@ import optax
 from ..kernels import make_kernel
 from ..ops.cg import pcg
 from ..ops.pallas_interp import _on_tpu as _pallas_on_tpu
-from ..ops.pallas_interp import pallas_interp_T_2d
+from ..ops.pallas_interp import pallas_interp_2d, pallas_interp_T_2d
 from ..ops.toeplitz import ToeplitzND, make_toeplitz
 
 __all__ = ["SKIOperator", "build_ski_operator", "fit_ski_gp",
@@ -166,6 +166,7 @@ class BandedInterpTables(NamedTuple):
     c0: jnp.ndarray         # (nbands, cap) int32 column stencil start
     w_row: jnp.ndarray      # (nbands, cap, 4) row cubic weights
     w_col: jnp.ndarray      # (nbands, cap, 4) column cubic weights
+    inv_slot: jnp.ndarray   # (n,) int32 band-major slot of each point
 
 
 def _plan_banded_interp(i0, w1d, G1: int, bh: int = _BANDED_BH,
@@ -187,13 +188,17 @@ def _plan_banded_interp(i0, w1d, G1: int, bh: int = _BANDED_BH,
     table = np.where(valid, np.clip(offs, 0, n - 1), 0)
     pidx = order[table]
     i0loc = i0[pidx, 0] - (np.arange(nbands) * bh)[:, None]
+    inv_slot = np.empty(n, np.int64)
+    slot_ids = np.arange(nbands * cap).reshape(nbands, cap)
+    inv_slot[pidx[valid]] = slot_ids[valid]
     return BandedInterpTables(
         pidx=jnp.asarray(pidx.astype(np.int32)),
         valid=jnp.asarray(valid),
         i0loc=jnp.asarray(i0loc.astype(np.int32)),
         c0=jnp.asarray(i0[pidx, 1].astype(np.int32)),
         w_row=jnp.asarray(w1d[pidx, 0, :]),
-        w_col=jnp.asarray(w1d[pidx, 1, :]))
+        w_col=jnp.asarray(w1d[pidx, 1, :]),
+        inv_slot=jnp.asarray(inv_slot.astype(np.int32)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,9 +222,35 @@ class SKIOperator:
         return int(np.prod(self.grid_shape))
 
     def interp(self, v):
-        """W v: grid -> points; v (..., M) -> (..., n)."""
+        """W v: grid -> points; v (..., M) -> (..., n).
+
+        The take path is an (n, 4^d) gather — gather-bound on TPU like
+        the scatter transpose was; with banded tables and the Pallas
+        backend the stencil reads become MXU contractions against the
+        same VMEM one-hot selectors (ops/pallas_interp.py)."""
+        if (self.banded is not None and len(self.grid_shape) == 2
+                and _interp_impl() == "pallas"):
+            return self._interp_banded_pallas(v)
         g = jnp.take(v, self.idx, axis=-1)          # (..., n, 4^d)
         return jnp.sum(g * self.wvals, axis=-1)
+
+    def _interp_banded_pallas(self, v):
+        t = self.banded
+        G1, G2 = self.grid_shape
+        bh = _BANDED_BH
+        nbands, cap = t.pidx.shape
+        batch = v.shape[:-1]
+        vb = v.reshape((-1, G1, G2))
+        B = vb.shape[0]
+        pad_rows = nbands * bh + 3 - G1
+        vp = jnp.pad(vb, [(0, 0), (0, pad_rows), (0, 0)])
+        row_idx = (np.arange(nbands)[:, None] * bh
+                   + np.arange(bh + 3)[None, :])     # (nbands, bh+3)
+        slabs = vp[:, row_idx, :]                    # (B, nbands, bh+3, G2)
+        pts = pallas_interp_2d(slabs, t.i0loc, t.c0, t.w_row, t.w_col,
+                               bh=bh)                # (nbands, B, cap)
+        flat = jnp.moveaxis(pts, 1, 0).reshape(B, nbands * cap)
+        return flat[:, t.inv_slot].reshape(batch + t.inv_slot.shape)
 
     def interp_T(self, u):
         """W^T u: points -> grid; u (..., n) -> (..., M).

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_interp_T_2d"]
+__all__ = ["pallas_interp_T_2d", "pallas_interp_2d"]
 
 
 def _on_tpu() -> bool:
@@ -138,3 +138,111 @@ def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G2: int,
         interpret=interpret,
     )(i0_p, c0_p, wr_p, wc_p, us_p)
     return out[..., :G2]
+
+
+def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
+                   tw: int):
+    """Forward ``W v`` for one (band, point-chunk, col-tile) step;
+    accumulates partial column-tile contributions over the innermost
+    col-tile grid dimension."""
+    rows = vs_ref.shape[2]
+    cc = i0_ref.shape[1]
+    dt = out_ref.dtype
+    i0 = i0_ref[0, :]
+    c0 = c0_ref[0, :]
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows, cc), 0)
+    At = jnp.zeros((rows, cc), dt)
+    for j in range(4):
+        At = At + wr_ref[0, j, :][None, :].astype(dt) * (
+            riota == (i0 + j)[None, :]).astype(dt)
+
+    col0 = pl.program_id(2) * tw
+    ciota = col0 + jax.lax.broadcasted_iota(jnp.int32, (cc, tw), 1)
+    Wc = jnp.zeros((cc, tw), dt)
+    for j in range(4):
+        Wc = Wc + wc_ref[0, j, :][:, None].astype(dt) * (
+            ciota == (c0 + j)[:, None]).astype(dt)
+
+    # contract the row axis on the MXU: (rows, cc) x (rows, tw) -> (cc, tw)
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+    vals = jnp.stack([jnp.sum(dot(At, vs_ref[0, b].astype(dt)) * Wc, axis=1)
+                      for b in range(vs_ref.shape[1])], axis=0)[None]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = vals
+
+    @pl.when(pl.program_id(2) > 0)
+    def _():
+        out_ref[...] += vals
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "cc", "interpret"))
+def pallas_interp_2d(vs, i0loc, c0, w_row, w_col, *, bh: int, cc: int = 512,
+                     interpret: bool | None = None):
+    """Band-sorted point values of ``W v`` for d=2 cubic interpolation.
+
+    The XLA forward path is an (n, 16) gather + weighted sum —
+    gather-bound on TPU just like the scatter was.  Here each point reads
+    its 4x4 stencil from the band slab via the same VMEM one-hot
+    selectors as the transpose kernel: P = At^T(rows-contract) @ slab,
+    out = rowsum(P * Wc).
+
+    ``vs``: (B, nbands, bh+3, G2) per-band slab views of the grid
+    (core rows plus the 3-row halo from the next band; the caller builds
+    them with one strided row gather).  Other tables as in
+    ``pallas_interp_T_2d``.  Returns (nbands, B, cap) values in
+    band-sorted slot order (invalid slots hold garbage from clipped
+    table entries — gather only ``inv_slot`` positions back).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, nbands, rows, G2 = vs.shape[0], vs.shape[1], vs.shape[2], vs.shape[3]
+    cap = i0loc.shape[1]
+    dt = vs.dtype
+
+    ncc = -(-cap // cc)
+    cap_pad = ncc * cc
+    tw = min(512, -(-G2 // 128) * 128)
+    nct = -(-G2 // tw)
+    g2_pad = nct * tw
+
+    def padc(a, fill=0):
+        if cap_pad == cap:
+            return a
+        pads = [(0, 0), (0, cap_pad - cap)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)
+    c0_p = padc(c0.astype(jnp.int32), fill=-8)
+    wr_p = jnp.moveaxis(padc(w_row), -1, 1).astype(dt)
+    wc_p = jnp.moveaxis(padc(w_col), -1, 1).astype(dt)
+    vs_p = jnp.swapaxes(vs, 0, 1)                        # (nbands, B, rows, G2)
+    if g2_pad != G2:
+        vs_p = jnp.pad(vs_p, [(0, 0), (0, 0), (0, 0), (0, g2_pad - G2)])
+
+    out = pl.pallas_call(
+        functools.partial(_interp_kernel, tw=tw),
+        grid=(nbands, ncc, nct),
+        in_specs=[
+            pl.BlockSpec((1, cc), lambda b, c, t: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc), lambda b, c, t: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cc), lambda b, c, t: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cc), lambda b, c, t: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, rows, tw), lambda b, c, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, cc), lambda b, c, t: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbands, B, cap_pad), dt),
+        interpret=interpret,
+    )(i0_p, c0_p, wr_p, wc_p, vs_p)
+    return out[..., :cap]

@@ -47,33 +47,47 @@ def main():
     op = build_ski_operator(x, kern, (g, g), ((-1.0, 1.0), (-1.0, 1.0)))
     u = jnp.asarray(rng.normal(size=(args.batch, args.n)), jnp.float32)
 
+    v = jnp.asarray(rng.normal(size=(args.batch, op.M)), jnp.float32)
     runs = {}
 
-    def bench(tag, impl, operator):
+    def bench(tag, impl, operator, apply, inp):
         set_interp_impl(impl)
         try:
-            f = jax.jit(lambda v: operator.interp_T(v))
-            out = f(u)
+            f = jax.jit(apply)
+            out = f(inp)
             s = float(jnp.sum(jnp.abs(out)))      # compile + settle
             best = float("inf")
             for _r in range(args.repeats):
                 t0 = time.perf_counter()
-                out = f(u)
+                out = f(inp)
                 s = float(jnp.sum(jnp.abs(out)))  # host read = sync
                 best = min(best, time.perf_counter() - t0)
         finally:
             set_interp_impl("auto")
         runs[tag] = (best, np.asarray(out))
-        print(f"{tag:>14}: {best*1e3:8.2f} ms   checksum {s:.6e}")
+        print(f"{tag:>22}: {best*1e3:8.2f} ms   checksum {s:.6e}")
 
-    bench("scatter", "einsum", dataclasses.replace(op, banded=None))
-    bench("banded-einsum", "einsum", op)
-    bench("pallas", "pallas", op)
+    op_scatter = dataclasses.replace(op, banded=None)
+    print(f"-- interp_T (points -> grid), n={args.n}, grid {g}^2, "
+          f"B={args.batch} --")
+    bench("scatter", "einsum", op_scatter, op_scatter.interp_T, u)
+    bench("banded-einsum", "einsum", op, op.interp_T, u)
+    bench("pallas", "pallas", op, op.interp_T, u)
+    print("-- interp (grid -> points) --")
+    bench("gather", "einsum", op, op.interp, v)
+    bench("pallas-fwd", "pallas", op, op.interp, v)
+    print("-- full matvec (W K_g W^T + s2) --")
+    # fresh lambda per bench: jit's cache is keyed on the callable, and a
+    # shared one would silently reuse the first backend's executable
+    bench("matvec-einsum", "einsum", op, lambda w: op.matvec(w, 0.1), u)
+    bench("matvec-pallas", "pallas", op, lambda w: op.matvec(w, 0.1), u)
 
-    ref = runs["scatter"][1]
-    for tag in ("banded-einsum", "pallas"):
+    for tag, ref_tag in (("banded-einsum", "scatter"), ("pallas", "scatter"),
+                         ("pallas-fwd", "gather"),
+                         ("matvec-pallas", "matvec-einsum")):
+        ref = runs[ref_tag][1]
         err = np.abs(runs[tag][1] - ref).max()
-        print(f"max |{tag} - scatter| = {err:.3e}")
+        print(f"max |{tag} - {ref_tag}| = {err:.3e}")
         assert err < 1e-3 * max(1.0, np.abs(ref).max()), (tag, err)
     print("PASS: all backends agree")
 

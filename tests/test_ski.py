@@ -238,6 +238,37 @@ def test_interp_T_pallas_matches_scatter(rng):
     assert np.max(np.abs(got1 - ref[0])) < 1e-10
 
 
+def test_interp_pallas_matches_take(rng):
+    """The Pallas forward interp (interpret mode on CPU) must equal the
+    gather path up to summation order, batched and single-vector."""
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.ski import build_ski_operator, set_interp_impl
+    n = 4000
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    kern = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=2)
+    op = build_ski_operator(x, kern, (48, 33), ((-1.0, 1.0), (-1.0, 1.0)))
+    v = jnp.asarray(rng.normal(size=(3, op.M)))
+    ref = np.asarray(op.interp(v))
+    set_interp_impl("pallas")
+    try:
+        got = np.asarray(op.interp(v))
+        got1 = np.asarray(op.interp(v[0]))
+    finally:
+        set_interp_impl("auto")
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got1 - ref[0])) < 1e-10
+    # adjointness under the pallas pair
+    u = jnp.asarray(rng.normal(size=(n,)))
+    set_interp_impl("pallas")
+    try:
+        lhs = float(jnp.dot(u, op.interp(v[0])))
+        rhs = float(jnp.dot(op.interp_T(u), v[0]))
+    finally:
+        set_interp_impl("auto")
+    assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
+
+
 def test_interp_T_pallas_wide_grid(rng):
     """Pallas interp_T across >1 column tile (G2 > 512) and >1 point chunk
     per band (cap > cc)."""
@@ -250,10 +281,15 @@ def test_interp_T_pallas_wide_grid(rng):
     # ext grid (12, 604): 2 bands -> cap ~ 1900 > cc, G2=604 -> 2 col tiles
     op = build_ski_operator(x, kern, (8, 600), ((-1.0, 1.0), (-1.0, 1.0)))
     u = jnp.asarray(rng.normal(size=(2, n)))
+    v = jnp.asarray(rng.normal(size=(2, op.M)))
     ref = np.asarray(dataclasses.replace(op, banded=None).interp_T(u))
+    ref_f = np.asarray(op.interp(v))
     set_interp_impl("pallas")
     try:
         got = np.asarray(op.interp_T(u))
+        got_f = np.asarray(op.interp(v))
     finally:
         set_interp_impl("auto")
     assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got_f - ref_f)) < 1e-10 * max(1.0,
+                                                       np.max(np.abs(ref_f)))
