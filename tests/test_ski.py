@@ -69,6 +69,21 @@ def test_ski_matvec_2d(rng):
     assert np.max(np.abs(got - K @ v)) < 1e-3 * np.max(np.abs(K @ v))
 
 
+def test_ski_matvec_3d(rng):
+    """d=3 SKI operator (scatter interp path) vs the dense kernel — the
+    reference gets this from GPyTorch's GridInterpolationKernel at any d
+    (utils/ski.py:181-401)."""
+    n = 40
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 3)))
+    kern = SquaredExponential(lengthscale=0.5, variance=1.0, dimension=3)
+    K = np.asarray(kern.kernel_matrix(x, x))
+    v = rng.normal(size=n)
+    op = build_ski_operator(x, kern, (16, 16, 16),
+                            resolve_grid_bounds(np.asarray(x)))
+    got = np.asarray(op.matvec(jnp.asarray(v), 0.0))
+    assert np.max(np.abs(got - K @ v)) < 2e-3 * np.max(np.abs(K @ v))
+
+
 def test_interp_adjoint(rng):
     x = jnp.asarray(rng.uniform(0, 1, size=(30, 2)))
     kern = SquaredExponential(lengthscale=0.4, variance=1.0, dimension=2)
