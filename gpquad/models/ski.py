@@ -395,6 +395,14 @@ def build_ski_operator(x, kernel, grid_size: Tuple[int, ...],
     if d == 2 and not isinstance(x, jax.core.Tracer):
         banded = _plan_banded_interp(np.asarray(i0), np.asarray(w1d),
                                      ext_sizes[0])
+        # clustered data blows up the static per-band cap (all points in
+        # few bands); past 4x slot waste the dense-band formulations lose
+        # to plain scatter/gather — drop the tables (cf. the data-free
+        # subproblem scheduling that solved this for the NUFFT spread,
+        # ops/spread_banded.sub_nufft1_2d)
+        nbands, cap = banded.pidx.shape
+        if nbands * cap > 4 * max(n, 1):
+            banded = None
     return SKIOperator(idx=idx, wvals=wv, toeplitz=toeplitz,
                        grid_shape=ext_sizes, lo=lo_ext, dx=dx,
                        banded=banded)

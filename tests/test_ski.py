@@ -84,6 +84,23 @@ def test_ski_matvec_3d(rng):
     assert np.max(np.abs(got - K @ v)) < 2e-3 * np.max(np.abs(K @ v))
 
 
+def test_banded_plan_dropped_for_clustered_data(rng):
+    """All points in one grid-row band -> cap ~ n per band; the plan must
+    fall back to scatter instead of padding every band to n slots."""
+    from gpquad.kernels import SquaredExponential
+    n = 2000
+    x = np.zeros((n, 2))
+    x[:, 0] = rng.uniform(-0.01, 0.01, n)         # one row band
+    x[:, 1] = rng.uniform(-1, 1, n)
+    kern = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=2)
+    op = build_ski_operator(jnp.asarray(x), kern, (64, 64),
+                            ((-1.0, 1.0), (-1.0, 1.0)))
+    assert op.banded is None
+    # operator still works through the scatter/gather path
+    u = jnp.asarray(rng.normal(size=n))
+    assert np.isfinite(np.asarray(op.interp_T(u))).all()
+
+
 def test_interp_adjoint(rng):
     x = jnp.asarray(rng.uniform(0, 1, size=(30, 2)))
     kern = SquaredExponential(lengthscale=0.4, variance=1.0, dimension=2)
