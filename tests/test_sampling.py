@@ -59,3 +59,30 @@ def test_bernoulli_samplers(rng):
     y2, f2 = sample_bernoulli_gp_spectral(jax.random.PRNGKey(5), x,
                                           lengthscale=0.3)
     assert set(np.unique(np.asarray(y2))).issubset({0.0, 1.0})
+
+
+def test_pathwise_posterior_matches_efgp_posterior(rng):
+    """Matheron pathwise samples must have the EFGP posterior mean and
+    (regular) variance, statistically over many samples."""
+    import gpquad
+    from gpquad.models.sampling import sample_posterior_pathwise
+    n = 120
+    x = jnp.asarray(rng.uniform(0, 1, (n, 1)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x[:, 0]))
+                    + 0.2 * rng.normal(size=n))
+    kern = SquaredExponential(lengthscale=0.2, variance=1.0, dimension=1)
+    state = gpquad.fit(x, y, kern, 0.05, eps=1e-5, cg_tol=1e-10)
+    xq = jnp.asarray(np.linspace(0.05, 0.95, 7)[:, None])
+    mean = np.asarray(gpquad.predict_mean(state, xq))
+    var = np.asarray(gpquad.predict_var(state, xq, method="regular",
+                                        cg_tol=1e-10))
+    S = 4000
+    samp = np.asarray(sample_posterior_pathwise(
+        x, y, state, xq, jax.random.PRNGKey(0), num_samples=S,
+        cg_tol=1e-10))
+    assert samp.shape == (S, 7)
+    se_mean = np.sqrt(var / S)          # std error of the sample mean
+    assert np.all(np.abs(samp.mean(0) - mean) < 5 * se_mean), (
+        samp.mean(0), mean, se_mean)
+    rel = np.abs(samp.var(0) - var) / var
+    assert np.all(rel < 6 * np.sqrt(2.0 / S)), (samp.var(0), var, rel)
