@@ -76,6 +76,21 @@ def main():
     print(f"posterior draws: shape {tuple(draws.shape)}  "
           f"mean-vs-predict max dev {err:.3f}  avg sd {spread:.3f}")
 
+    # pathwise (Matheron) posterior sampling — O(n M) per sample at any
+    # number of targets, no dense target-space Cholesky (new; the
+    # reference's sample_posterior is dense-only)
+    from gpquad.models.sampling import sample_posterior_pathwise
+    state = model.state
+    S = 512
+    pw = sample_posterior_pathwise(x, y_spec, state, xq,
+                                   jax.random.PRNGKey(11), num_samples=S,
+                                   cg_tol=1e-8)
+    dev = float(jnp.max(jnp.abs(jnp.mean(pw, axis=0) - mu)))
+    print(f"pathwise draws:  shape {tuple(pw.shape)}  "
+          f"mean-vs-predict max dev {dev:.3f}  "
+          f"avg sd {float(jnp.mean(jnp.std(pw, axis=0))):.3f}")
+    assert dev < 0.2, "pathwise sample mean must track the posterior mean"
+
 
 if __name__ == "__main__":
     main()

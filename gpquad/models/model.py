@@ -113,6 +113,13 @@ class EFGP:
         L = float(np.max(xm.max(axis=0) - xm.min(axis=0)))
         return L if L > 1e-9 else 1.0
 
+    @property
+    def state(self) -> "FitState":
+        """The cached ``FitState`` (fits first if needed) — the handle the
+        functional API (predict_mean/predict_var/sampling) consumes."""
+        self.fit()
+        return self._state
+
     # ------------------------------------------------------------------
     def fit(self, force_recompute: bool = False) -> "EFGP":
         """Compute/cache the mean solve (reference
