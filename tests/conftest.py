@@ -22,6 +22,16 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# dlopen h5py NOW, while the process map count is low: a full suite run
+# accumulates tens of thousands of mmaps (one per XLA:CPU executable /
+# buffer), and once past vm.max_map_count (default 65530) late .so loads
+# die with "failed to map segment" and allocations with MemoryError.
+# (Host mitigation: sysctl -w vm.max_map_count=1048576.)
+try:  # pragma: no cover
+    import h5py  # noqa: F401
+except Exception:
+    pass
+
 
 @pytest.fixture
 def rng():
