@@ -119,8 +119,14 @@ _BANDED_BH = 8          # band height (rows); slab height is BH + 3
 
 # interp_T backend for the banded plan: "einsum" (XLA banded-dense),
 # "pallas" (VMEM-resident one-hot selectors, ops/pallas_interp.py), or
-# "auto" (pallas on TPU, einsum elsewhere).
+# "auto" (batch-aware pallas on TPU, einsum elsewhere).
 _INTERP_IMPL = "auto"
+
+# measured v5e crossover (n=2e5, 512^2): pallas wins the full matvec at
+# small batch (50 vs 73 ms at B=4, forward interp carries it) but the
+# batch-tiled kernel loses slightly at CG-variance batches (246 vs
+# 207 ms at B=200); the training path runs at B <= 1+trace_samples.
+_PALLAS_MAX_BATCH = 32
 
 
 def set_interp_impl(impl: str) -> None:
@@ -134,10 +140,14 @@ def set_interp_impl(impl: str) -> None:
     _INTERP_IMPL = impl
 
 
-def _interp_impl() -> str:
+def _interp_impl(batch: int = 1) -> str:
+    """Resolve the backend at trace time; ``batch`` is the static batch
+    size of the call being traced (shapes are static under jit)."""
     if _INTERP_IMPL != "auto":
         return _INTERP_IMPL
-    return "pallas" if _pallas_on_tpu() else "einsum"
+    if _pallas_on_tpu() and batch <= _PALLAS_MAX_BATCH:
+        return "pallas"
+    return "einsum"
 
 
 def _fold_band_slabs(slabs, batch, G1: int, G2: int, bh: int):
@@ -229,7 +239,8 @@ class SKIOperator:
         backend the stencil reads become MXU contractions against the
         same VMEM one-hot selectors (ops/pallas_interp.py)."""
         if (self.banded is not None and len(self.grid_shape) == 2
-                and _interp_impl() == "pallas"):
+                and _interp_impl(int(np.prod(v.shape[:-1], dtype=np.int64)))
+                == "pallas"):
             return self._interp_banded_pallas(v)
         g = jnp.take(v, self.idx, axis=-1)          # (..., n, 4^d)
         return jnp.sum(g * self.wvals, axis=-1)
@@ -279,7 +290,7 @@ class SKIOperator:
         B = ub.shape[0]
         us = ub[:, t.pidx.reshape(-1)].reshape(B, nbands, cap) \
             * t.valid[None].astype(u.dtype)
-        if _interp_impl() == "pallas":
+        if _interp_impl(B) == "pallas":
             slabs = pallas_interp_T_2d(us, t.i0loc, t.c0, t.w_row, t.w_col,
                                        G2=G2, bh=bh)
             slabs = jnp.swapaxes(slabs, 0, 1)        # (B, nbands, bh+3, G2)

@@ -18,6 +18,9 @@ plan (sort points by stencil base row, pad to a static cap) is shared with
 the banded-dense path (models/ski.py _plan_banded_interp).
 
 Runs in interpreter mode off-TPU so the CPU suite tests it exactly.
+Measured on v5e (n=2e5, 512^2 grid, B=4): full SKI matvec 50 ms Pallas
+vs 73 ms banded-einsum vs ~150 ms scatter+gather; the forward kernel
+carries the win (40 vs 64 ms), the transpose is par (30 vs 28 ms).
 """
 from __future__ import annotations
 
@@ -38,14 +41,26 @@ def _on_tpu() -> bool:
         return False
 
 
+def _batch_tile(B: int, bb_max: int = 16) -> tuple[int, int]:
+    """Pick a batch tile: the whole batch when small (block dim == array
+    dim satisfies Mosaic), else a multiple-of-8 tile so VMEM blocks do
+    not scale with B (B=200 CG batches blow the 16 MB scoped-vmem limit
+    otherwise)."""
+    if B <= bb_max:
+        return B, 1
+    bb = bb_max
+    return bb, -(-B // bb)
+
+
 def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
                      tw: int):
-    """One (band, col-tile, point-chunk) step; accumulates over chunks."""
+    """One (band, batch-tile, col-tile, point-chunk) step; accumulates
+    over point chunks (innermost grid axis)."""
     rows = out_ref.shape[2]
-    cc = i0_ref.shape[1]
+    cc = i0_ref.shape[2]
     dt = out_ref.dtype
-    i0 = i0_ref[0, :]
-    c0 = c0_ref[0, :]
+    i0 = i0_ref[0, 0, :]
+    c0 = c0_ref[0, 0, :]
 
     riota = jax.lax.broadcasted_iota(jnp.int32, (rows, cc), 0)
     At = jnp.zeros((rows, cc), dt)
@@ -53,7 +68,7 @@ def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
         At = At + wr_ref[0, j, :][None, :].astype(dt) * (
             riota == (i0 + j)[None, :]).astype(dt)
 
-    col0 = pl.program_id(1) * tw
+    col0 = pl.program_id(2) * tw
     ciota = col0 + jax.lax.broadcasted_iota(jnp.int32, (cc, tw), 1)
     Wc = jnp.zeros((cc, tw), dt)
     for j in range(4):
@@ -67,11 +82,11 @@ def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
     slab = jnp.stack([dot(At * us_ref[0, b, :].astype(dt)[None, :], Wc)
                       for b in range(us_ref.shape[1])], axis=0)[None]
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(pl.program_id(3) == 0)
     def _():
         out_ref[...] = slab
 
-    @pl.when(pl.program_id(2) > 0)
+    @pl.when(pl.program_id(3) > 0)
     def _():
         out_ref[...] += slab
 
@@ -102,6 +117,8 @@ def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G2: int,
     tw = min(512, -(-G2 // 128) * 128)
     nct = -(-G2 // tw)
     g2_pad = nct * tw
+    bb, nbt = _batch_tile(B)
+    b_pad = bb * nbt
 
     def padc(a, fill=0):
         if cap_pad == cap:
@@ -109,47 +126,51 @@ def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G2: int,
         pads = [(0, 0), (0, cap_pad - cap)] + [(0, 0)] * (a.ndim - 2)
         return jnp.pad(a, pads, constant_values=fill)
 
-    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)   # never matches a row
-    c0_p = padc(c0.astype(jnp.int32), fill=-8)
+    # singleton middle axis: Mosaic requires the block's last-two dims to
+    # divide (8, 128) or equal the array dims — (1, cc) on (nbands, cap)
+    # fails, (1, 1, cc) on (nbands, 1, cap) is legal
+    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)[:, None, :]
+    c0_p = padc(c0.astype(jnp.int32), fill=-8)[:, None, :]
     wr_p = jnp.moveaxis(padc(w_row), -1, 1).astype(dt)   # (nbands, 4, cap)
     wc_p = jnp.moveaxis(padc(w_col), -1, 1).astype(dt)
     us_p = jnp.swapaxes(us, 0, 1)                        # (nbands, B, cap)
-    if cap_pad != cap:
-        us_p = jnp.pad(us_p, [(0, 0), (0, 0), (0, cap_pad - cap)])
+    if cap_pad != cap or b_pad != B:
+        us_p = jnp.pad(us_p, [(0, 0), (0, b_pad - B), (0, cap_pad - cap)])
 
     out = pl.pallas_call(
         functools.partial(_interp_T_kernel, tw=tw),
-        grid=(nbands, nct, ncc),
+        grid=(nbands, nbt, nct, ncc),
         in_specs=[
-            pl.BlockSpec((1, cc), lambda b, t, c: (b, c),
+            pl.BlockSpec((1, 1, cc), lambda b, bt, t, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cc), lambda b, t, c: (b, c),
+            pl.BlockSpec((1, 1, cc), lambda b, bt, t, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, cc), lambda b, t, c: (b, 0, c),
+            pl.BlockSpec((1, 4, cc), lambda b, bt, t, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, cc), lambda b, t, c: (b, 0, c),
+            pl.BlockSpec((1, 4, cc), lambda b, bt, t, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, cc), lambda b, t, c: (b, 0, c),
+            pl.BlockSpec((1, bb, cc), lambda b, bt, t, c: (b, bt, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, rows, tw), lambda b, t, c: (b, 0, 0, t),
+        out_specs=pl.BlockSpec((1, bb, rows, tw),
+                               lambda b, bt, t, c: (b, bt, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbands, B, rows, g2_pad), dt),
+        out_shape=jax.ShapeDtypeStruct((nbands, b_pad, rows, g2_pad), dt),
         interpret=interpret,
     )(i0_p, c0_p, wr_p, wc_p, us_p)
-    return out[..., :G2]
+    return out[:, :B, :, :G2]
 
 
 def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
                    tw: int):
-    """Forward ``W v`` for one (band, point-chunk, col-tile) step;
-    accumulates partial column-tile contributions over the innermost
-    col-tile grid dimension."""
+    """Forward ``W v`` for one (band, batch-tile, point-chunk, col-tile)
+    step; accumulates partial column-tile contributions over the
+    innermost col-tile grid dimension."""
     rows = vs_ref.shape[2]
-    cc = i0_ref.shape[1]
+    cc = i0_ref.shape[2]
     dt = out_ref.dtype
-    i0 = i0_ref[0, :]
-    c0 = c0_ref[0, :]
+    i0 = i0_ref[0, 0, :]
+    c0 = c0_ref[0, 0, :]
 
     riota = jax.lax.broadcasted_iota(jnp.int32, (rows, cc), 0)
     At = jnp.zeros((rows, cc), dt)
@@ -157,7 +178,7 @@ def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
         At = At + wr_ref[0, j, :][None, :].astype(dt) * (
             riota == (i0 + j)[None, :]).astype(dt)
 
-    col0 = pl.program_id(2) * tw
+    col0 = pl.program_id(3) * tw
     ciota = col0 + jax.lax.broadcasted_iota(jnp.int32, (cc, tw), 1)
     Wc = jnp.zeros((cc, tw), dt)
     for j in range(4):
@@ -172,11 +193,11 @@ def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
     vals = jnp.stack([jnp.sum(dot(At, vs_ref[0, b].astype(dt)) * Wc, axis=1)
                       for b in range(vs_ref.shape[1])], axis=0)[None]
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(pl.program_id(3) == 0)
     def _():
         out_ref[...] = vals
 
-    @pl.when(pl.program_id(2) > 0)
+    @pl.when(pl.program_id(3) > 0)
     def _():
         out_ref[...] += vals
 
@@ -210,6 +231,8 @@ def pallas_interp_2d(vs, i0loc, c0, w_row, w_col, *, bh: int, cc: int = 512,
     tw = min(512, -(-G2 // 128) * 128)
     nct = -(-G2 // tw)
     g2_pad = nct * tw
+    bb, nbt = _batch_tile(B)
+    b_pad = bb * nbt
 
     def padc(a, fill=0):
         if cap_pad == cap:
@@ -217,32 +240,33 @@ def pallas_interp_2d(vs, i0loc, c0, w_row, w_col, *, bh: int, cc: int = 512,
         pads = [(0, 0), (0, cap_pad - cap)] + [(0, 0)] * (a.ndim - 2)
         return jnp.pad(a, pads, constant_values=fill)
 
-    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)
-    c0_p = padc(c0.astype(jnp.int32), fill=-8)
+    i0_p = padc(i0loc.astype(jnp.int32), fill=-8)[:, None, :]
+    c0_p = padc(c0.astype(jnp.int32), fill=-8)[:, None, :]
     wr_p = jnp.moveaxis(padc(w_row), -1, 1).astype(dt)
     wc_p = jnp.moveaxis(padc(w_col), -1, 1).astype(dt)
     vs_p = jnp.swapaxes(vs, 0, 1)                        # (nbands, B, rows, G2)
-    if g2_pad != G2:
-        vs_p = jnp.pad(vs_p, [(0, 0), (0, 0), (0, 0), (0, g2_pad - G2)])
+    if g2_pad != G2 or b_pad != B:
+        vs_p = jnp.pad(vs_p, [(0, 0), (0, b_pad - B), (0, 0),
+                              (0, g2_pad - G2)])
 
     out = pl.pallas_call(
         functools.partial(_interp_kernel, tw=tw),
-        grid=(nbands, ncc, nct),
+        grid=(nbands, nbt, ncc, nct),
         in_specs=[
-            pl.BlockSpec((1, cc), lambda b, c, t: (b, c),
+            pl.BlockSpec((1, 1, cc), lambda b, bt, c, t: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cc), lambda b, c, t: (b, c),
+            pl.BlockSpec((1, 1, cc), lambda b, bt, c, t: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, cc), lambda b, c, t: (b, 0, c),
+            pl.BlockSpec((1, 4, cc), lambda b, bt, c, t: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, cc), lambda b, c, t: (b, 0, c),
+            pl.BlockSpec((1, 4, cc), lambda b, bt, c, t: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, rows, tw), lambda b, c, t: (b, 0, 0, t),
+            pl.BlockSpec((1, bb, rows, tw), lambda b, bt, c, t: (b, bt, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, cc), lambda b, c, t: (b, 0, c),
+        out_specs=pl.BlockSpec((1, bb, cc), lambda b, bt, c, t: (b, bt, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbands, B, cap_pad), dt),
+        out_shape=jax.ShapeDtypeStruct((nbands, b_pad, cap_pad), dt),
         interpret=interpret,
     )(i0_p, c0_p, wr_p, wc_p, vs_p)
-    return out[..., :cap]
+    return out[:, :B, :cap]

@@ -2,9 +2,11 @@
 
 W^T u is SKI's hot op (every CG iteration); the reference leaves it to
 GPyTorch's scatter (utils/ski.py:181-401 via InterpolatedLazyTensor).
-Measured on TPU v5e at n=2e5, grid 512^2, B=4: scatter ~53 ms,
-banded-einsum ~29 ms; the Pallas bin-sorted kernel keeps the one-hot
-selectors in VMEM (ops/pallas_interp.py).
+Measured on TPU v5e at n=2e5, grid 512^2, B=4: interp_T scatter ~80 ms,
+banded-einsum ~28 ms, Pallas ~30 ms; forward interp gather ~64 ms,
+Pallas ~40 ms; full SKI matvec (W K_g W^T + s2) einsum ~73 ms, Pallas
+~50 ms.  The Pallas bin-sorted kernels keep the one-hot selectors in
+VMEM (ops/pallas_interp.py).
 
 On CPU this still checks three-way agreement but timings are not
 meaningful (Pallas runs interpreted).  Sync via scalar host read —
@@ -51,15 +53,18 @@ def main():
     runs = {}
 
     def bench(tag, impl, operator, apply, inp):
+        # the operator rides through jit as a pytree argument: closing over
+        # it would embed its complex kernel FFT as an eager constant, which
+        # the axon TPU runtime cannot materialize (UNIMPLEMENTED)
         set_interp_impl(impl)
         try:
             f = jax.jit(apply)
-            out = f(inp)
+            out = f(operator, inp)
             s = float(jnp.sum(jnp.abs(out)))      # compile + settle
             best = float("inf")
             for _r in range(args.repeats):
                 t0 = time.perf_counter()
-                out = f(inp)
+                out = f(operator, inp)
                 s = float(jnp.sum(jnp.abs(out)))  # host read = sync
                 best = min(best, time.perf_counter() - t0)
         finally:
@@ -70,17 +75,17 @@ def main():
     op_scatter = dataclasses.replace(op, banded=None)
     print(f"-- interp_T (points -> grid), n={args.n}, grid {g}^2, "
           f"B={args.batch} --")
-    bench("scatter", "einsum", op_scatter, op_scatter.interp_T, u)
-    bench("banded-einsum", "einsum", op, op.interp_T, u)
-    bench("pallas", "pallas", op, op.interp_T, u)
+    bench("scatter", "einsum", op_scatter, lambda o, w: o.interp_T(w), u)
+    bench("banded-einsum", "einsum", op, lambda o, w: o.interp_T(w), u)
+    bench("pallas", "pallas", op, lambda o, w: o.interp_T(w), u)
     print("-- interp (grid -> points) --")
-    bench("gather", "einsum", op, op.interp, v)
-    bench("pallas-fwd", "pallas", op, op.interp, v)
+    bench("gather", "einsum", op, lambda o, w: o.interp(w), v)
+    bench("pallas-fwd", "pallas", op, lambda o, w: o.interp(w), v)
     print("-- full matvec (W K_g W^T + s2) --")
     # fresh lambda per bench: jit's cache is keyed on the callable, and a
     # shared one would silently reuse the first backend's executable
-    bench("matvec-einsum", "einsum", op, lambda w: op.matvec(w, 0.1), u)
-    bench("matvec-pallas", "pallas", op, lambda w: op.matvec(w, 0.1), u)
+    bench("matvec-einsum", "einsum", op, lambda o, w: o.matvec(w, 0.1), u)
+    bench("matvec-pallas", "pallas", op, lambda o, w: o.matvec(w, 0.1), u)
 
     for tag, ref_tag in (("banded-einsum", "scatter"), ("pallas", "scatter"),
                          ("pallas-fwd", "gather"),
