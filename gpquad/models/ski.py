@@ -39,7 +39,25 @@ __all__ = ["SKIOperator", "build_ski_operator", "fit_ski_gp",
            "ski_predict_mean", "ski_predict_var"]
 
 
-def _canonical_kernel(kernel: str) -> str:
+def _canonical_kernel(kernel) -> str:
+    """Accepts the reference's string names (utils/ski.py:185 takes
+    kernel: str = "SE") plus gpquad kernel instances, so functional-API
+    users can hand their kernel object straight to the baseline."""
+    if not isinstance(kernel, str):
+        name = type(kernel).__name__
+        if name == "SquaredExponential":
+            return "se"
+        if name == "Matern":
+            nu = getattr(kernel, "nu", None)
+            if nu is not None and abs(nu - 1.5) < 1e-9:
+                return "matern32"
+            if nu is not None and abs(nu - 2.5) < 1e-9:
+                return "matern52"
+            raise ValueError(
+                f"SKI supports Matern nu in {{1.5, 2.5}}, got nu={nu}.")
+        raise TypeError(
+            f"Unsupported SKI kernel object {name!r}. Pass a kernel name "
+            "string or a SquaredExponential / Matern(nu=1.5|2.5) instance.")
     key = kernel.lower().replace("-", "").replace("_", "")
     if key in {"se", "squaredexponential", "rbf", "gaussian"}:
         return "se"
@@ -504,7 +522,7 @@ def _rss_gb():
         return None
 
 
-def fit_ski_gp(x, y, *, kernel: str = "SE", grid_size=None,
+def fit_ski_gp(x, y, *, kernel="SE", grid_size=None,
                target_grid_points: int = 32_768, grid_bounds=None,
                max_iters: int = 50, lr: float = 0.05,
                noise_floor: float = 1e-4, dtype=jnp.float32,
@@ -535,6 +553,11 @@ def fit_ski_gp(x, y, *, kernel: str = "SE", grid_size=None,
         x, y = x[train_indices], y[train_indices]
 
     kname = _canonical_kernel(kernel)
+    if not isinstance(kernel, str):       # seed inits from the instance
+        if init_lengthscale is None:
+            init_lengthscale = float(np.asarray(kernel.lengthscale))
+        if init_outputscale is None:
+            init_outputscale = float(np.asarray(kernel.variance))
     d = x.shape[1]
     bounds = resolve_grid_bounds(x, grid_bounds)
     sizes = resolve_grid_size(grid_size=grid_size, num_dims=d,

@@ -166,6 +166,28 @@ def test_fit_ski_validates_inputs(rng):
         fit_ski_gp(np.zeros((10, 1)), np.zeros(10), kernel="exp")
 
 
+def test_fit_ski_accepts_kernel_instances(rng):
+    """Kernel objects from the functional API work directly and seed
+    the initial hypers; unsupported nu / foreign objects raise."""
+    from gpquad.kernels import Matern
+    x, y = make_data(rng, n=200, d=2, lengthscale=0.4)
+    k = SquaredExponential(lengthscale=0.37, variance=1.0, dimension=2)
+    out = fit_ski_gp(np.asarray(x), np.asarray(y), kernel=k, grid_size=24,
+                     max_iters=1, lr=0.0, verbose=False, dtype=jnp.float64)
+    assert out["settings"]["kernel"] == "se"
+    assert np.isclose(out["history"]["lengthscale"][0], 0.37, rtol=1e-6)
+    out = fit_ski_gp(np.asarray(x), np.asarray(y),
+                     kernel=Matern(lengthscale=0.3, dimension=2, nu=2.5),
+                     grid_size=24, max_iters=1, verbose=False,
+                     dtype=jnp.float64)
+    assert out["settings"]["kernel"] == "matern52"
+    with pytest.raises(ValueError):
+        fit_ski_gp(np.asarray(x), np.asarray(y), grid_size=24,
+                   kernel=Matern(lengthscale=0.3, dimension=2, nu=0.5))
+    with pytest.raises(TypeError):
+        fit_ski_gp(np.asarray(x), np.asarray(y), grid_size=24, kernel=42)
+
+
 def test_ski_predict_var_matches_ski_dense_oracle(rng):
     """ski_predict_var == dense evaluation of the SAME SKI approximation:
     var = k(0) - kstar^T (W K_g W^T + s2 I)^-1 kstar with kstar = W K_g w*.
