@@ -503,8 +503,11 @@ def main():
     t_var, var = timed(predict_var, state, xnew, method="stochastic",
                        key=key, probes=args.probes, cg_tol=1e-4,
                        max_cg_iter=400, etas=jnp.asarray(etas))
+    # bandwidth-adaptive node counts (chebyshev_nodes=None): the fixed
+    # 20/dim this used to pin was 13% of the variance scale at n=1e5 —
+    # the surface's Woodbury-flattened spectrum needs ~42/dim here
     t_var_cheb, vc = timed(predict_var, state, xnew, method="chebyshev",
-                           chebyshev_nodes=20, cg_tol=1e-5, max_cg_iter=600)
+                           cg_tol=1e-5, max_cg_iter=600)
     # exact per-target ('regular') variance at ALL 10k targets — the
     # reference's slowest row: 180.9 s on CPU (BASELINE.md,
     # efgpnd_ex.ipynb cells 29/35); dense-reuse + microbatched matmuls

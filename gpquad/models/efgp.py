@@ -376,28 +376,40 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     return nufft.type2(est_sums).real
 
 
+# module-level so the executable is compiled once; a fresh jit(lambda)
+# per call recompiled every time (~0.3 s per predict_var on axon)
+_abs2 = jax.jit(lambda w: jnp.abs(w) ** 2)
+
+
 def _auto_chebyshev_nodes(state: FitState, x_new, *, mass: float = 0.999,
                           c: float = 4.0, floor: int = 20, cap: int = 96):
     """Per-dimension Chebyshev node counts from the variance surface's
     effective bandwidth.
 
-    The posterior variance is a trigonometric polynomial in x whose
-    spectral mass lives where the quadrature weights do, so the per-dim
-    bandwidth B = (ws^2-weighted ``mass``-quantile of |xi_dim|) bounds how
-    fast it can vary; Chebyshev interpolation of e^{2 pi i B x} over a
-    width-W window needs ~pi nodes per wavelength, i.e. N ~ 2 pi B W.
-    Empirical calibration across SE/Matern(3/2, 5/2) at lengthscales
-    0.16-0.35 gives N = ceil(2 c B W) with c = 4.0 reaching <=1e-3
-    relative error (the fixed default of 20 was >7% off at
-    lengthscale ~0.16 for Matern-3/2 and 5/2).  Heavy-tailed spectra
-    (Matern-1/2 at very short lengthscale) can need more than ``cap``
-    nodes; the dispatcher falls back to exact per-target solves when the
-    auto grid would be no smaller than the target set anyway."""
+    The posterior variance is a trigonometric polynomial in x; its
+    spectral envelope is NOT the raw quadrature weights ws^2 but the
+    Woodbury-damped q = ws^2 / (n ws^2 + sigma^2): the quadratic form is
+    f* D (G/s2 + I)^{-1} D f, and where the data dominate
+    (n ws^2 >> s2) the inverse flattens the spectrum to ~s2/n, so high
+    frequencies carry far more relative mass than ws^2 suggests.  The
+    per-dim bandwidth B = (q-weighted ``mass``-quantile of |xi_dim|)
+    bounds how fast the surface varies; Chebyshev interpolation of
+    e^{2 pi i B x} over a width-W window needs ~pi nodes per wavelength,
+    so N = ceil(2 c B W) with c = 4.0.  Measured at the headline bench
+    config (n=1e5, SE l=0.1, eps=1e-6, mtot=29): the raw-ws^2 quantile
+    gave N=42 (interp 6.9e-4 rel-to-max vs the f64 oracle) while the
+    damped quantile gives N=69 (3e-8 class); a fixed N=20 was 13% off.
+    Heavy-tailed spectra (Matern-1/2 at very short lengthscale) can need
+    more than ``cap`` nodes; the dispatcher falls back to exact
+    per-target solves when the auto grid would be no smaller than the
+    target set anyway."""
     m = (state.mtot - 1) // 2
     xis1 = np.arange(-m, m + 1) * float(state.h)
     # |ws|^2 computed inside jit: axon cannot transfer complex arrays
     # host<->device, but the squared magnitude is real.
-    w2 = np.asarray(jax.jit(lambda w: jnp.abs(w) ** 2)(state.ws))
+    w2 = np.asarray(_abs2(state.ws))
+    w2 = (w2 / (float(np.asarray(state.diag_scale)) * w2
+                + float(np.asarray(state.sigmasq))))
     w2 = w2.reshape((state.mtot,) * state.d)
     xh = np.asarray(x_new)
     order = np.argsort(np.abs(xis1))
@@ -428,7 +440,7 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim,
     ``n_nodes_per_dim`` may be an int, a per-dim sequence, or None
     (bandwidth-adaptive via :func:`_auto_chebyshev_nodes`).
     """
-    from .pg_core import barycentric_matrix, chebyshev_lobatto_nodes
+    from .pg_core import chebyshev_lobatto_nodes
     xh = np.asarray(x_new)
     d = xh.shape[1]
     if n_nodes_per_dim is None:
@@ -437,7 +449,7 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim,
         n_per_dim = [int(n_nodes_per_dim)] * d
     else:
         n_per_dim = [int(v) for v in n_nodes_per_dim]
-    axes_nodes, mats = [], []
+    axes_nodes, axes_weights = [], []
     for dim in range(d):
         coord = xh[:, dim]
         lo, hi = float(coord.min()), float(coord.max())
@@ -445,13 +457,42 @@ def _variance_chebyshev(state: FitState, x_new, *, n_nodes_per_dim,
             pad = max(abs(lo), 1.0) * 1e-6
             lo, hi = lo - pad, hi + pad
         nodes, weights = chebyshev_lobatto_nodes(lo, hi, n_per_dim[dim])
-        mats.append(jnp.asarray(barycentric_matrix(nodes, weights, coord),
-                                dtype=x_new.dtype))
-        axes_nodes.append(nodes)
-    mesh = np.stack(np.meshgrid(*axes_nodes, indexing="ij"), -1).reshape(-1, d)
-    node_var = _variance_regular(state, jnp.asarray(mesh, x_new.dtype),
-                                 cg_tol=cg_tol, max_cg_iter=max_cg_iter)
-    node_grid = node_var.reshape(tuple(n_per_dim))
+        axes_nodes.append(jnp.asarray(nodes, x_new.dtype))
+        axes_weights.append(jnp.asarray(weights, x_new.dtype))
+    mesh = np.stack(np.meshgrid(*[np.asarray(a) for a in axes_nodes],
+                                indexing="ij"), -1).reshape(-1, d)
+    # one fused program: node solves + device-built barycentric rows +
+    # tensor interpolation.  Building the (targets, nodes) matrices on
+    # host and shipping them through the axon tunnel cost ~10x the
+    # compute at 10k targets (0.69 s vs the 47 ms exact-at-10k path).
+    return _cheb_eval(state, x_new, tuple(axes_nodes), tuple(axes_weights),
+                      jnp.asarray(mesh, x_new.dtype), cg_tol=float(cg_tol),
+                      max_cg_iter=int(max_cg_iter))
+
+
+def _bary_rows(nodes, weights, t):
+    """Barycentric interpolation rows, built on device.  The barycentric
+    form is self-normalizing as t -> node (the diverging term dominates
+    numerator and denominator), so only exact zeros need the one-hot
+    guard (reference _barycentric_interpolation_matrix,
+    pg_classifier.py:894-920)."""
+    diff = t[:, None] - nodes[None, :]
+    hit = diff == 0.0
+    matched = jnp.any(hit, axis=1)
+    onehot = hit.astype(t.dtype)
+    raw = weights[None, :] / jnp.where(hit, 1.0, diff)
+    raw = jnp.where(hit, 0.0, raw)
+    smooth = raw / jnp.sum(raw, axis=1, keepdims=True)
+    return jnp.where(matched[:, None], onehot, smooth)
+
+
+@partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter"))
+def _cheb_eval(state, x_new, nodes, weights, mesh, *, cg_tol, max_cg_iter):
+    d = len(nodes)
+    node_var = _variance_regular(state, mesh, cg_tol=cg_tol,
+                                 max_cg_iter=max_cg_iter)
+    node_grid = node_var.reshape(tuple(n.shape[0] for n in nodes))
+    mats = [_bary_rows(nodes[i], weights[i], x_new[:, i]) for i in range(d)]
     letters = "abcdefghij"[:d]
     expr = ",".join(f"n{c}" for c in letters) + "," + letters + "->n"
     return jnp.maximum(jnp.einsum(expr, *mats, node_grid), 0.0)
