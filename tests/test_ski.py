@@ -347,3 +347,36 @@ def test_interp_T_pallas_wide_grid(rng):
     assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0, np.max(np.abs(ref)))
     assert np.max(np.abs(got_f - ref_f)) < 1e-10 * max(1.0,
                                                        np.max(np.abs(ref_f)))
+
+
+def test_interp_pallas_batch_tiled(rng):
+    """Pallas interp kernels across >1 batch tile (B > _batch_tile's
+    bb_max=16, incl. a non-multiple-of-8 batch that forces padding) —
+    the VMEM-bound regime that crashed on real hardware at B=200."""
+    import dataclasses
+    from gpquad.kernels import SquaredExponential
+    from gpquad.models.ski import build_ski_operator, set_interp_impl
+    from gpquad.ops.pallas_interp import _batch_tile
+    assert _batch_tile(4) == (4, 1)
+    assert _batch_tile(16) == (16, 1)
+    assert _batch_tile(200) == (16, 13)
+    n = 2500
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    kern = SquaredExponential(lengthscale=0.3, variance=1.0, dimension=2)
+    op = build_ski_operator(x, kern, (40, 40), ((-1.0, 1.0), (-1.0, 1.0)))
+    for B in (21, 40):
+        u = jnp.asarray(rng.normal(size=(B, n)))
+        v = jnp.asarray(rng.normal(size=(B, op.M)))
+        ref = np.asarray(dataclasses.replace(op, banded=None).interp_T(u))
+        ref_f = np.asarray(op.interp(v))
+        set_interp_impl("pallas")
+        try:
+            got = np.asarray(op.interp_T(u))
+            got_f = np.asarray(op.interp(v))
+        finally:
+            set_interp_impl("auto")
+        assert got.shape == ref.shape and got_f.shape == ref_f.shape
+        assert np.max(np.abs(got - ref)) < 1e-10 * max(1.0,
+                                                       np.max(np.abs(ref)))
+        assert np.max(np.abs(got_f - ref_f)) < 1e-10 * max(
+            1.0, np.max(np.abs(ref_f)))
