@@ -644,9 +644,11 @@ def main():
             f"{np.max(err_vh):.3e}")
         out_json["max_rel_err_var_high_vs_dense_f64"] = round(
             float(np.max(err_vh / np.maximum(var_reg64, 1e-12))), 9)
-        # scale-relative for the f32 Chebyshev estimator: its ~2e-5
-        # absolute floor reads as O(1) pointwise-relative where the
-        # posterior variance is near zero
+        # scale-relative for the f32 Chebyshev estimator (pointwise
+        # relative is misleading where the posterior variance is near
+        # zero).  With the Woodbury-damped auto node counts this sits at
+        # the f32 node-solve floor (~2e-4); the old fixed-20-node grid
+        # read 0.13 here
         rel_vch = (np.abs(np.asarray(vc[:512], np.float64) - var_reg64)
                    / var_reg64.max())
         out_json["scale_rel_err_var_cheb_vs_dense_f64"] = round(

@@ -58,8 +58,9 @@ def main():
 
     # --- three variance estimators (reference cells 27-35) ---------------
     key = jax.random.PRNGKey(1)
+    # chebyshev_nodes=None = bandwidth-adaptive (Woodbury-damped) counts
     for method, kw in [("stochastic", dict(probes=500)),
-                       ("chebyshev", dict(chebyshev_nodes=20)),
+                       ("chebyshev", dict(chebyshev_nodes=None)),
                        ("regular", dict(microbatch=2048))]:
         var = gpquad.predict_var(state, xq, method=method, key=key,
                                  cg_tol=1e-4, **kw)
