@@ -508,3 +508,48 @@ def test_matern_kernel_estimator(rng):
     # unknown kernel still raises a clear error
     with pytest.raises(ValueError, match="Unknown kernel"):
         PolyagammaGPClassifier(kernel="nope").fit(X, y)
+
+
+def test_fit_fixed_point_matches_dense_cavi(rng):
+    """The full damped-Hutchinson outer loop converges to the SAME fixed
+    point as an exact-Sigma dense CAVI on the identical model (reference
+    CAVI_NaturalGrad_Gibbs_test.ipynb; script form
+    examples/inference_comparison.py).  The quadrature kernel is realised
+    exactly by the real feature map [sqrt(ws2) cos, sqrt(ws2) sin], so the
+    two posteriors coincide up to inference error only."""
+    n = 150
+    X = np.sort(rng.uniform(-1, 1, size=(n, 1)), axis=0)
+    f = 2.5 * np.sin(4 * X[:, 0])
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-f))).astype(int)
+
+    ell, sf2 = 0.3, 2.0
+    clf = PolyagammaGPClassifier(max_iter=40, lr=0.0, lengthscale_init=ell,
+                                 variance_init=sf2, n_e_probes=64,
+                                 random_state=0, dtype="float64")
+    clf.fit(X, y)
+
+    sp = clf._spectral_state_
+    m = (sp.mtot - 1) // 2
+    xis = np.arange(-m, m + 1, dtype=np.float64) * float(np.asarray(sp.h))
+    w = np.sqrt(np.real(np.asarray(sp.ws2)))
+    ang = 2 * np.pi * X * xis[None, :]
+    Phi = np.concatenate([w * np.cos(ang), w * np.sin(ang)], axis=1)
+
+    d = np.full(n, 0.25)
+    kappa = y - 0.5
+    for _ in range(300):
+        Sigma = np.linalg.inv((Phi.T * d) @ Phi + np.eye(Phi.shape[1]))
+        mu = Sigma @ (Phi.T @ kappa)
+        c = np.sqrt(np.sum(Phi * (Phi @ Sigma), axis=1) + (Phi @ mu) ** 2)
+        d_new = np.where(c > 1e-8, 0.5 * np.tanh(c / 2) / np.maximum(c, 1e-8),
+                         0.25)
+        if np.linalg.norm(d_new - d) < 1e-12:
+            d = d_new
+            break
+        d = d_new
+    f_cavi = Phi @ mu
+
+    scale = np.sqrt(np.mean(f_cavi ** 2))
+    rel = np.sqrt(np.mean((clf.posterior_mean_ - f_cavi) ** 2)) / scale
+    assert rel < 5e-3, rel                       # probe noise floor
+    assert np.max(np.abs(clf.delta_ - d)) < 5e-3
