@@ -495,7 +495,13 @@ def _cheb_eval(state, x_new, nodes, weights, mesh, *, cg_tol, max_cg_iter):
     mats = [_bary_rows(nodes[i], weights[i], x_new[:, i]) for i in range(d)]
     letters = "abcdefghij"[:d]
     expr = ",".join(f"n{c}" for c in letters) + "," + letters + "->n"
-    return jnp.maximum(jnp.einsum(expr, *mats, node_grid), 0.0)
+    # HIGHEST: the TPU default runs contractions at bf16-pass precision;
+    # the barycentric rows carry alternating-sign O(1) weights, so a bf16
+    # contraction injects ~4e-3 of the grid scale — BENCH_r03 measured
+    # scale_rel_err 3.3e-3 on device vs the 4.3e-4 f32 node-solve floor
+    # this estimator shows on CPU (scripts/diagnose_cheb_error.py)
+    return jnp.maximum(jnp.einsum(expr, *mats, node_grid,
+                                  precision=jax.lax.Precision.HIGHEST), 0.0)
 
 
 def predict_var(state: FitState, x_new, *, method: str = "stochastic",

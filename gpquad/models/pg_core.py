@@ -645,8 +645,10 @@ def predictive_variance_chebyshev(spectral: PGSpectralState, x, delta,
     node_grid = node_var.reshape((n_nodes_per_dim,) * d)
     letters = "abcdefghij"[:d]
     expr = (",".join(f"n{c}" for c in letters) + "," + letters + "->n")
+    # HIGHEST: bf16-pass contraction of the alternating-sign barycentric
+    # rows costs ~4e-3 of the grid scale on TPU (see efgp._cheb_eval)
     interp = jnp.einsum(expr, *[m.astype(node_grid.dtype) for m in mats],
-                        node_grid)
+                        node_grid, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(interp, 0.0)
 
 

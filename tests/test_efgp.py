@@ -183,6 +183,36 @@ def test_variance_chebyshev_auto_nodes_on_rough_kernel(rng):
     assert err_auto < err_fixed
 
 
+def test_variance_chebyshev_f32_scale_rel_error_within_1e3(rng):
+    """Pin the bench claim (VERDICT r3 #9): at a headline-like 2-D config
+    the f32 Chebyshev variance stays within 1e-3 of the f64 exact path,
+    scale-relative (max-abs error / max variance).
+
+    scripts/diagnose_cheb_error.py attributes the budget: interpolation
+    contributes ~3e-12; the f32 node-solve floor is ~4.3e-4 at n=1e5
+    (BENCH_r03's on-device 3.3e-3 was the interpolation einsum running at
+    TPU bf16-pass default precision, now pinned to HIGHEST)."""
+    n, d, ell, sigmasq = 20_000, 2, 0.1, 0.01
+    xh = rng.uniform(0, 1, size=(n, d))
+    yh = (np.sin(3 * np.pi * xh[:, 0]) * np.cos(2 * np.pi * xh[:, 1])
+          + 0.1 * rng.normal(size=n))
+    xt = rng.uniform(0, 1, size=(128, d))
+    k32 = SquaredExponential(lengthscale=jnp.float32(ell),
+                             variance=jnp.float32(1.0), dimension=d)
+    st32 = fit(jnp.asarray(xh, jnp.float32), jnp.asarray(yh, jnp.float32),
+               k32, sigmasq, 1e-6, cg_tol=1e-6)
+    v32 = np.asarray(predict_var(st32, jnp.asarray(xt, jnp.float32),
+                                 method="chebyshev", cg_tol=1e-5),
+                     np.float64)
+    k64 = SquaredExponential(lengthscale=jnp.float64(ell),
+                             variance=jnp.float64(1.0), dimension=d)
+    st64 = fit(jnp.asarray(xh), jnp.asarray(yh), k64, sigmasq, 1e-6,
+               cg_tol=1e-12)
+    v64 = np.asarray(predict_var(st64, jnp.asarray(xt), method="regular",
+                                 cg_tol=1e-12))
+    assert np.max(np.abs(v32 - v64)) / np.max(v64) < 1e-3
+
+
 def test_2d_mean_and_variance(rng):
     kernel = SquaredExponential(lengthscale=0.4, variance=1.0, dimension=2)
     x, y = make_data(rng, n=200, d=2, lengthscale=0.4, variance=1.0)
