@@ -371,6 +371,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self._spectral_state_ = spectral
         self._likelihood_ = likelihood
         self._beta_mean_t_ = beta_mean
+        self._kappa_t_ = kappa           # kept for the df64 high leg
         self._est_sums_ = None
         self._dense_system_ = None
 
@@ -482,6 +483,34 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             return self.posterior_var_diag_.copy()
         return np.asarray(
             self._variance_off_train(jnp.asarray(X_arr, self._rdtype())))
+
+    def predict_latent_high(self, X, *, with_var: bool = True, **kw):
+        """df64 latent predictive moments (VERDICT r3 #4): the reference's
+        PG estimators run float64 end-to-end (pg_classifier.py:1094);
+        this re-solves the final beta-mean system and the exact
+        per-target variance in double-word arithmetic
+        (models/pg_high.pg_predict_high), certified at <=1e-6-class
+        agreement with the numpy-f64 dense feature system
+        (tests/test_pg_high.py).
+
+        Returns ``(mean, var)`` as float64 numpy arrays (``var`` is
+        ``None`` with ``with_var=False``).  The f32 VI posterior
+        ``delta`` defines the system; only the solve and the moment
+        evaluation run in df64.
+        """
+        from .pg_high import pg_predict_high
+        check_is_fitted(self, ["beta_mean_", "delta_"])
+        X_arr = check_array(X, ensure_2d=True, dtype=np.float64)
+        sp = self._spectral_state_
+        d = X_arr.shape[1]
+        kern = self._make_kernel_obj(self.lengthscale_, self.variance_, d)
+        res = pg_predict_high(
+            self._X_train_t_, kern, float(np.asarray(sp.h)), sp.mtot,
+            self._delta_t_, self._kappa_t_,
+            jnp.asarray(X_arr, self._rdtype()), with_var=with_var, **kw)
+        mean = np.asarray(res.mean, np.float64)
+        var = np.asarray(res.var, np.float64) if with_var else None
+        return mean, var
 
     def predict_response_mean(self, X):
         check_is_fitted(self, ["posterior_mean_", "posterior_var_diag_",

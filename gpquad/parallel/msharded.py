@@ -37,7 +37,7 @@ from ..ops.toeplitz import ToeplitzND
 
 __all__ = ["msharded_toeplitz_matvec", "shard_toeplitz_kernel",
            "make_msharded_A_mean", "make_msharded_toeplitz_apply",
-           "msharded_fit", "msharded_gradient",
+           "msharded_fit", "msharded_gradient", "msharded_predict_var",
            "make_msharded_toeplitz_df_apply", "msharded_fit_high"]
 
 
@@ -73,12 +73,50 @@ def _pencil_conv2d(xp, kf, *, axis_name: str):
     return fft_last(a, inverse=True)
 
 
+def _pencil_conv3d(xp, kf, *, axis_name: str):
+    """Circular 3-D convolution of one padded slab with the kernel
+    spectrum slab (slab-decomposed distributed FFT, one transpose pair).
+
+    xp: (B, P1, P2, P3/k) local — the grid is sharded on its LAST axis;
+    kf: (P1, P2/k, P3) local — the spectrum is sharded on its MIDDLE
+    axis, which is exactly the layout the forward transpose produces.
+    Keeps every FFT on the last axis (same XLA:CPU layout workaround as
+    :func:`_pencil_conv2d`)."""
+    def fft_last(a, inverse=False):
+        shape = a.shape
+        flat = a.reshape(-1, shape[-1])
+        out = jnp.fft.ifft(flat, axis=-1) if inverse \
+            else jnp.fft.fft(flat, axis=-1)
+        return out.reshape(shape)
+
+    def fft_axis(a, ax, inverse=False):
+        a = jnp.swapaxes(a, ax, -1)
+        a = fft_last(a, inverse)
+        return jnp.swapaxes(a, ax, -1)
+
+    a = fft_axis(xp, 1)                    # P1 (local, full)
+    a = fft_axis(a, 2)                     # P2 (local, full)
+    # (B, P1, P2, P3/k) -> (B, P1, P2/k, P3)
+    a = jax.lax.all_to_all(a, axis_name, split_axis=2, concat_axis=3,
+                           tiled=True)
+    a = fft_last(a)                        # P3 (now local, full)
+    a = a * kf[None]
+    a = fft_last(a, inverse=True)
+    a = jax.lax.all_to_all(a, axis_name, split_axis=3, concat_axis=2,
+                           tiled=True)
+    a = fft_axis(a, 2, inverse=True)
+    return fft_axis(a, 1, inverse=True)
+
+
 def shard_toeplitz_kernel(toeplitz: ToeplitzND, mesh: Mesh,
                           axis: str = "dp") -> jnp.ndarray:
-    """Place the cached kernel spectrum column-sharded over ``axis`` (one
-    (P1, P2/k) slab per device)."""
-    return jax.device_put(toeplitz.fft_kernel,
-                          NamedSharding(mesh, P(None, axis)))
+    """Place the cached kernel spectrum sharded over ``axis``: column
+    slabs (P1, P2/k) at d=2; middle-axis slabs (P1, P2/k, P3) at d=3
+    (the layout the forward transpose in :func:`_pencil_conv3d` lands
+    on)."""
+    spec = (P(None, axis) if toeplitz.d == 2
+            else P(None, axis, None))
+    return jax.device_put(toeplitz.fft_kernel, NamedSharding(mesh, spec))
 
 
 def msharded_toeplitz_matvec(toeplitz: ToeplitzND, x, mesh: Mesh,
@@ -92,17 +130,19 @@ def msharded_toeplitz_matvec(toeplitz: ToeplitzND, x, mesh: Mesh,
     sharded across calls; otherwise the replicated cached spectrum is
     resharded on the fly.
 
-    Requires d == 2 and both padded FFT sizes divisible by the axis size
-    (power-of-two padding guarantees this for power-of-two meshes).
+    Requires d in {2, 3} and the relevant padded FFT sizes divisible by
+    the axis size (power-of-two padding guarantees this for power-of-two
+    meshes).
     """
-    if toeplitz.d != 2:
+    d = toeplitz.d
+    if d not in (2, 3):
         raise NotImplementedError(
-            "pencil-sharded matvec is implemented for d=2; other dims run "
-            "the replicated ToeplitzND path")
-    n1, n2 = toeplitz.ns
-    P1, P2 = toeplitz.fft_shape
+            "pencil-sharded matvec is implemented for d in {2, 3}; other "
+            "dims run the replicated ToeplitzND path")
+    ns = toeplitz.ns
+    fshape = toeplitz.fft_shape
     k = mesh.shape[axis]
-    if P1 % k or P2 % k:
+    if any(s % k for s in fshape[1:]):
         raise ValueError(
             f"fft_shape {toeplitz.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")
@@ -111,24 +151,35 @@ def msharded_toeplitz_matvec(toeplitz: ToeplitzND, x, mesh: Mesh,
 
     cdtype = toeplitz.fft_kernel.dtype
     flat = x.shape[-1] == toeplitz.size and (
-        x.ndim < 2 or tuple(x.shape[-2:]) != (n1, n2))
-    batch = x.shape[:-1] if flat else x.shape[:-2]
-    xb = x.reshape((-1, n1, n2)).astype(cdtype)
+        x.ndim < d or tuple(x.shape[-d:]) != ns)
+    batch = x.shape[:-1] if flat else x.shape[:-d]
+    xb = x.reshape((-1,) + ns).astype(cdtype)
 
-    conv = shard_map(partial(_pencil_conv2d, axis_name=axis), mesh=mesh,
-                     in_specs=(P(None, axis, None), P(None, axis)),
-                     out_specs=P(None, axis, None))
+    if d == 2:
+        conv = shard_map(partial(_pencil_conv2d, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, axis, None), P(None, axis)),
+                         out_specs=P(None, axis, None))
+    else:
+        conv = shard_map(partial(_pencil_conv3d, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, None, None, axis),
+                                   P(None, axis, None)),
+                         out_specs=P(None, None, None, axis))
+
+    pad_set = tuple(slice(0, n) for n in ns)
+    central = tuple(slice(n - 1, 2 * n - 1) for n in ns)
 
     @jax.jit
     def run(xb, kf):
-        xp = jnp.zeros((xb.shape[0], P1, P2), cdtype)
-        xp = xp.at[:, :n1, :n2].set(xb)
+        xp = jnp.zeros((xb.shape[0],) + fshape, cdtype)
+        xp = xp.at[(slice(None),) + pad_set].set(xb)
         y = conv(xp, kf)
-        return y[:, n1 - 1:2 * n1 - 1, n2 - 1:2 * n2 - 1]
+        return y[(slice(None),) + central]
 
     y = run(xb, kf)
     return (y.reshape(batch + (toeplitz.size,)) if flat
-            else y.reshape(batch + (n1, n2)))
+            else y.reshape(batch + ns))
 
 
 def make_msharded_toeplitz_apply(toeplitz: ToeplitzND, mesh: Mesh,
@@ -137,30 +188,44 @@ def make_msharded_toeplitz_apply(toeplitz: ToeplitzND, mesh: Mesh,
     FFT — traceable inside ``jit``/``lax.while_loop``.  The kernel
     spectrum is column-slab-sharded with a sharding constraint
     (per-device operator state = P1*P2/k)."""
-    if toeplitz.d != 2:
-        raise NotImplementedError("M-sharded Toeplitz requires d == 2")
-    n1, n2 = toeplitz.ns
-    P1, P2 = toeplitz.fft_shape
+    d = toeplitz.d
+    if d not in (2, 3):
+        raise NotImplementedError("M-sharded Toeplitz requires d in {2, 3}")
+    ns = toeplitz.ns
+    fshape = toeplitz.fft_shape
     k = mesh.shape[axis]
-    if P1 % k or P2 % k:
+    if any(s % k for s in fshape[1:]):
         raise ValueError(
             f"fft_shape {toeplitz.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")
     cdtype = toeplitz.fft_kernel.dtype
-    kf = jax.lax.with_sharding_constraint(
-        toeplitz.fft_kernel, NamedSharding(mesh, P(None, axis)))
-    conv = shard_map(partial(_pencil_conv2d, axis_name=axis), mesh=mesh,
-                     in_specs=(P(None, axis, None), P(None, axis)),
-                     out_specs=P(None, axis, None))
+    if d == 2:
+        kf = jax.lax.with_sharding_constraint(
+            toeplitz.fft_kernel, NamedSharding(mesh, P(None, axis)))
+        conv = shard_map(partial(_pencil_conv2d, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, axis, None), P(None, axis)),
+                         out_specs=P(None, axis, None))
+    else:
+        kf = jax.lax.with_sharding_constraint(
+            toeplitz.fft_kernel, NamedSharding(mesh, P(None, axis, None)))
+        conv = shard_map(partial(_pencil_conv3d, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, None, None, axis),
+                                   P(None, axis, None)),
+                         out_specs=P(None, None, None, axis))
+
+    pad_set = tuple(slice(0, n) for n in ns)
+    central = tuple(slice(n - 1, 2 * n - 1) for n in ns)
 
     def T_apply(z):
         z = z.astype(cdtype)
         batch = z.shape[:-1]
-        xb = z.reshape((-1, n1, n2))
-        xp = jnp.zeros((xb.shape[0], P1, P2), cdtype)
-        xp = xp.at[:, :n1, :n2].set(xb)
+        xb = z.reshape((-1,) + ns)
+        xp = jnp.zeros((xb.shape[0],) + fshape, cdtype)
+        xp = xp.at[(slice(None),) + pad_set].set(xb)
         y = conv(xp, kf)
-        t = y[:, n1 - 1:2 * n1 - 1, n2 - 1:2 * n2 - 1]
+        t = y[(slice(None),) + central]
         return t.reshape(batch + (toeplitz.size,))
 
     return T_apply
@@ -192,7 +257,7 @@ def msharded_fit(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
     frequency memory is O(P1 * P2 / k) instead of the replicated
     O(P1 * P2) wall (gpquad/parallel/sharding.py:14-21).  Numerically
     equal to the single-device ``fit_with_grid(..., solver='cg')`` up to
-    reduction order.  d=2 only (the pencil decomposition's home turf).
+    reduction order.  d in {2, 3} (2-D pencils, 3-D slabs).
     """
     from functools import partial as _partial
 
@@ -206,8 +271,8 @@ def msharded_fit(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
-    if x.shape[1] != 2:
-        raise NotImplementedError("msharded_fit requires d == 2")
+    if x.shape[1] not in (2, 3):
+        raise NotImplementedError("msharded_fit requires d in {2, 3}")
     xs = shard_points(x, mesh, axis)
     ys = shard_points(jnp.asarray(y), mesh, axis)
 
@@ -221,7 +286,7 @@ def msharded_fit(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
         sigmasq = jnp.asarray(sigmasq, rdtype)
         kernel_c = kernel.with_hypers(kernel.hyper_vector().astype(rdtype))
         m = (mtot - 1) // 2
-        d = 2
+        d = x.shape[1]
         xis = tensor_grid(jnp.arange(-m, m + 1, dtype=rdtype) * h, d)
         ws = quadrature_weights(kernel_c, xis, h, d)
         nufft = make_nufft(x, h, mtot, cdtype=cdtype)
@@ -243,6 +308,66 @@ def msharded_fit(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
     with mesh:
         return _run(xs, ys, kernel, sigmasq, h, mtot=mtot, cg_tol=cg_tol,
                     max_cg_iter=max_cg_iter, use_precond=use_precond)
+
+
+def msharded_predict_var(state, x_new, mesh: Mesh, *, axis: str = "dp",
+                         cg_tol: float = 1e-4, max_cg_iter: int = 1000,
+                         microbatch: int = 2048):
+    """Exact per-target posterior variance with the probe solves running
+    against the pencil-sharded operator (VERDICT r3 #6): the per-target
+    CG systems ``A_var z = D f_x*`` are the memory-heavy half of the
+    large-grid workload (a (B, M) RHS batch against the same padded
+    grid), so they deserve the O(P1*P2/k) per-device layout the fit
+    already has.  Numerically equal to
+    ``predict_var(state, x_new, method='regular')`` up to reduction
+    order; d in {2, 3}.
+    """
+    from functools import partial as _partial
+
+    from ..models.efgp import posterior_fourier_rows
+    from ..ops.cg import pcg
+    from ..ops.toeplitz import toeplitz_diag_scale
+
+    x_new = jnp.asarray(x_new)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    T_apply = make_msharded_toeplitz_apply(state.toeplitz, mesh, axis)
+
+    @_partial(jax.jit, static_argnames=("cg_tol", "max_cg_iter",
+                                        "microbatch"))
+    def _run(state, x_new, *, cg_tol, max_cg_iter, microbatch):
+        ws, sigmasq = state.ws, state.sigmasq
+        diag = (state.diag_scale * jnp.abs(ws) ** 2 / sigmasq + 1.0)
+
+        def A_var(z):
+            z = z.astype(ws.dtype)
+            return ws * T_apply(ws * z) / sigmasq + z
+
+        def M_inv(r):
+            return r / diag.astype(r.dtype)
+
+        def one_batch(xb):
+            fx = posterior_fourier_rows(xb, state.h, state.mtot, state.d)
+            rhs = ws * jnp.conj(fx)
+            res = pcg(A_var, rhs, tol=cg_tol, maxiter=max_cg_iter,
+                      M_inv=M_inv)
+            return jnp.maximum(
+                jnp.real(jnp.sum(fx * (ws * res.x), axis=-1)), 0.0)
+
+        B = x_new.shape[0]
+        nb = max(1, -(-B // microbatch))
+        pad = nb * microbatch - B if nb > 1 else 0
+        if pad:
+            x_new = jnp.concatenate(
+                [x_new, x_new[-1:].repeat(pad, axis=0)], axis=0)
+        if nb == 1:
+            return one_batch(x_new)[:B]
+        chunks = x_new.reshape(nb, -1, x_new.shape[-1])
+        return jax.lax.map(one_batch, chunks).reshape(-1)[:B]
+
+    with mesh:
+        return _run(state, x_new, cg_tol=cg_tol, max_cg_iter=max_cg_iter,
+                    microbatch=min(microbatch, max(1, x_new.shape[0])))
 
 
 def msharded_gradient(x, y, kernel, sigmasq, h, key, mesh: Mesh, *,

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_points", "shard_probes", "replicate",
-           "sharded_fit", "sharded_gradient"]
+           "sharded_fit", "sharded_gradient", "sharded_pg_outer_step"]
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -100,3 +100,34 @@ def sharded_gradient(x, y, kernel, sigmasq, h, key, *, mesh: Mesh,
     return gradient_with_grid(xs, ys, kernel, sigmasq, h, key, mtot=mtot,
                               trace_samples=trace_samples, probes=(Zs, Vs),
                               **kw)
+
+
+def sharded_pg_outer_step(x, kern, h, ws_mask, delta, kappa, pg_b,
+                          e_probes, m_key, raw, opt_state, *, mesh: Mesh,
+                          probe_axis: str = "probe", **kw):
+    """Data + probe parallel PG outer EM iteration (VERDICT r3 #5).
+
+    The E-step's probe solves are embarrassingly parallel — the batched
+    feature-space CG carries ``1 + P`` right-hand sides
+    (models/pg_core.estep_pass), so the Rademacher probe batch shards
+    over ``probe`` exactly like the EFGP trace systems; every
+    point-space vector (x, delta, kappa, pg_b, and the probes' point
+    axis) shards over ``dp``, turning the type-1 NUFFT contraction into
+    a matmul + ``psum`` over ICI.  The (M,)-space state stays
+    replicated, so the compiled program is :func:`gpquad.models.pg_core.
+    outer_step` unchanged — GSPMD propagates the layouts from the input
+    shardings.
+
+    ``probe_axis`` is skipped if the mesh doesn't carry it (pure-``dp``
+    meshes replicate the probe batch instead).
+    """
+    from ..models.pg_core import outer_step
+    xs = shard_points(jnp.asarray(x), mesh)
+    ds = shard_points(jnp.asarray(delta), mesh)
+    ks = shard_points(jnp.asarray(kappa), mesh)
+    bs = shard_points(jnp.asarray(pg_b), mesh)
+    pa = probe_axis if probe_axis in mesh.axis_names else None
+    Ps = jax.device_put(jnp.asarray(e_probes),
+                        NamedSharding(mesh, P(pa, "dp")))
+    return outer_step(xs, kern, h, ws_mask, ds, ks, bs, Ps, m_key, raw,
+                      opt_state, **kw)

@@ -19,7 +19,8 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["efgp_f64_objects", "gradient_f64", "stochastic_var_f64",
-           "regular_var_f64"]
+           "regular_var_f64", "pg_f64_objects", "pg_beta_mean_f64",
+           "pg_mean_f64", "pg_var_f64"]
 
 
 def _se_density(ell: float, var: float, d: int, xis: np.ndarray):
@@ -139,3 +140,63 @@ def regular_var_f64(obj: Dict, x_new: np.ndarray) -> np.ndarray:
                               @ obj["xis"].T))
     Z = np.linalg.solve(A / sigmasq, (ws * Ft.conj()).T).T
     return np.maximum(np.real(np.sum(Ft * (ws * Z), -1)), 0.0)
+
+
+def pg_f64_objects(x, delta, kernel, h, mtot: int) -> Dict:
+    """Dense f64 PG feature system for a fixed posterior ``delta``
+    (reference pg_classifier.py:418-504 algebra; the same symmetrized
+    system models/pg_core.dense_feature_system materializes in f32):
+
+        T_w = F* diag(delta) F,   Ds = sqrt(max(ws2, eps_d)),
+        A   = I + Ds T_w Ds.
+
+    ``kernel`` is a gpquad kernel object (host-f64 spectral density via
+    models/precision._spectral_density_np — SE or Matérn)."""
+    from ..models.precision import _spectral_density_np
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    delta = np.asarray(delta, np.float64)
+    n, d = x.shape
+    m = (mtot - 1) // 2
+    k1 = np.arange(-m, m + 1)
+    K = np.stack(np.meshgrid(*([k1] * d), indexing="ij"), -1).reshape(-1, d)
+    xis = (float(h) * K).astype(np.float64)
+    ws2 = _spectral_density_np(kernel, xis) * float(h) ** d
+    eps_d = max(float(np.mean(ws2)) * 1e-14, 1e-14)
+    Ds = np.sqrt(np.maximum(ws2, eps_d))
+    F = np.exp(2j * np.pi * (x @ xis.T))                    # (n, M)
+    Tw = F.conj().T @ (delta[:, None] * F)
+    M = Tw.shape[0]
+    A = np.eye(M) + Ds[:, None] * Tw * Ds[None, :]
+    return dict(x=x, F=F, A=A, ws2=ws2, Ds=Ds, xis=xis, n=n, d=d, M=M,
+                h=float(h), mtot=mtot)
+
+
+def pg_beta_mean_f64(obj: Dict, kappa: np.ndarray) -> np.ndarray:
+    """f64 beta-mean: solve (I + Ds T_w Ds) z = Ds F* kappa, beta =
+    Ds^{-1} z (reference _solve_beta_mean, pg_classifier.py:634-650)."""
+    q = obj["F"].conj().T @ np.asarray(kappa, np.float64)
+    z = np.linalg.solve(obj["A"], obj["Ds"] * q)
+    return z / obj["Ds"]
+
+
+def pg_mean_f64(obj: Dict, x_new: np.ndarray, beta: np.ndarray) -> np.ndarray:
+    """f64 latent predictive mean Re[F_new (ws2 beta)] (reference
+    _predictive_mean, pg_classifier.py:653-668)."""
+    Ft = np.exp(2j * np.pi * (np.asarray(x_new, np.float64)
+                              @ obj["xis"].T))
+    return np.real(Ft @ (obj["ws2"] * beta))
+
+
+def pg_var_f64(obj: Dict, x_new: np.ndarray) -> np.ndarray:
+    """f64 exact latent variance: phi = conj rows; var =
+    Re<conj(phi), ws2 Ds^{-1} z>, (I + Ds T_w Ds) z = Ds phi (reference
+    _predictive_latent_moments, pg_classifier.py:671-739)."""
+    Ds, ws2 = obj["Ds"], obj["ws2"]
+    phi = np.exp(-2j * np.pi * (np.asarray(x_new, np.float64)
+                                @ obj["xis"].T))            # (B, M)
+    Z = np.linalg.solve(obj["A"], Ds[:, None] * phi.T)      # (M, B)
+    e = ws2 / Ds
+    return np.maximum(
+        np.real(np.sum(phi.conj().T * (e[:, None] * Z), axis=0)), 0.0)

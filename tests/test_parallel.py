@@ -254,3 +254,119 @@ def test_msharded_fit_high_matches_single_device():
     assert np.abs(got - want).max() < 1e-9 * scale, (
         np.abs(got - want).max() / scale)
     assert int(st.mean_cg_iters) > 0
+
+
+def test_sharded_pg_outer_step_matches_single():
+    """One PG outer EM iteration, sharded (dp x probe) vs single-device
+    (VERDICT r3 #5): the E-step probe solves shard over lanes, the
+    point-space vectors over dp, and the result must match to reduction
+    order."""
+    import optax
+    from gpquad.models import pg_core as core
+    from gpquad.parallel import sharded_pg_outer_step
+
+    rng = np.random.default_rng(9)
+    n, d = 512, 2
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, d)))
+    y = (rng.uniform(size=n) < 0.5).astype(np.float64)
+    kappa = jnp.asarray(y - 0.5)
+    pg_b = jnp.ones((n,))
+    delta0 = jnp.full((n,), 0.25)
+    kernel = SquaredExponential(lengthscale=0.25, variance=1.5, dimension=d)
+    _, h, mtot = spectral_grid(kernel, 1e-3, 1.0)
+    P_e = 8
+    e_probes = jnp.asarray(rng.integers(0, 2, (P_e, n)) * 2.0 - 1)
+    raw = jnp.log(jnp.asarray([0.25, 1.5]))
+    tx = optax.adam(0.05)
+    opt_state = tx.init(raw)
+    kw = dict(mtot=int(mtot), e_iters=3, n_m_probes=6, rho0=0.5,
+              gamma=0.1, e_tol=0.0, cg_tol=1e-10, lr=0.05)
+    m_key = jax.random.PRNGKey(42)
+
+    ref = core.outer_step(x, kernel, h, None, delta0, kappa, pg_b,
+                          e_probes, m_key, raw, opt_state, **kw)
+    mesh = make_mesh(8, axes=("dp", "probe"), shape=(4, 2))
+    res = sharded_pg_outer_step(x, kernel, h, None, delta0, kappa, pg_b,
+                                e_probes, m_key, raw, opt_state,
+                                mesh=mesh, **kw)
+    assert np.allclose(np.asarray(res.delta), np.asarray(ref.delta),
+                       rtol=1e-8, atol=1e-10)
+    assert np.allclose(np.asarray(res.mean), np.asarray(ref.mean),
+                       rtol=1e-7, atol=1e-9)
+    assert np.allclose(np.asarray(res.m_grad), np.asarray(ref.m_grad),
+                       rtol=1e-6), (np.asarray(res.m_grad),
+                                    np.asarray(ref.m_grad))
+    assert np.allclose(np.asarray(res.raw), np.asarray(ref.raw),
+                       rtol=1e-7, atol=1e-9)
+
+
+def test_msharded_toeplitz_3d_matches_replicated():
+    """3-D slab-decomposed distributed FFT (VERDICT r3 #6) == replicated
+    ToeplitzND."""
+    from gpquad.ops.operators import convolution_vector
+    from gpquad.ops.toeplitz import make_toeplitz
+    from gpquad.parallel import (msharded_toeplitz_matvec,
+                                 shard_toeplitz_kernel)
+    rng = np.random.default_rng(11)
+    n, mtot = 1500, 9                   # lag 17 -> pad 32: divisible by 8
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 3)))
+    m = (mtot - 1) // 2
+    T = make_toeplitz(convolution_vector(m, x, jnp.asarray(0.11)))
+    mesh = make_mesh(8)
+    kf = shard_toeplitz_kernel(T, mesh)
+    shard_shapes = {s.data.shape for s in kf.addressable_shards}
+    assert shard_shapes == {(T.fft_shape[0], T.fft_shape[1] // 8,
+                             T.fft_shape[2])}
+    v = jnp.asarray(rng.normal(size=mtot**3) + 1j * rng.normal(size=mtot**3))
+    want = np.asarray(T(v))
+    got = np.asarray(msharded_toeplitz_matvec(T, v, mesh, fft_kernel=kf))
+    assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
+    # batched flat layout
+    B = jnp.asarray(rng.normal(size=(3, mtot**3))).astype(jnp.complex128)
+    assert np.allclose(np.asarray(msharded_toeplitz_matvec(T, B, mesh)),
+                       np.asarray(T(B)), rtol=1e-10, atol=1e-10)
+
+
+def test_msharded_fit_3d_matches_single_device():
+    """d=3 end-to-end M-sharded fit (VERDICT r3 #6): the hard d=3 config
+    family (M=mtot^3 memory magnet) gets the O(P^3/k) per-device
+    layout."""
+    from gpquad.models.efgp import fit_with_grid, predict_mean
+    from gpquad.parallel import msharded_fit
+    rng = np.random.default_rng(12)
+    n, mtot, h, sigmasq = 3000, 9, 0.11, 0.05
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 3)))
+    y = jnp.asarray(rng.normal(size=n))
+    kernel = SquaredExponential(lengthscale=0.15, variance=1.0, dimension=3)
+    ref = fit_with_grid(x, y, kernel, sigmasq, jnp.asarray(h), mtot,
+                        cg_tol=1e-8, solver="cg")
+    mesh = make_mesh(8)
+    st = msharded_fit(x, y, kernel, sigmasq, h, mtot, mesh, cg_tol=1e-8)
+    assert np.allclose(np.asarray(st.beta), np.asarray(ref.beta),
+                       rtol=1e-6, atol=1e-9)
+    xt = jnp.asarray(rng.uniform(0.1, 0.9, size=(40, 3)))
+    assert np.allclose(np.asarray(predict_mean(st, xt)),
+                       np.asarray(predict_mean(ref, xt)), atol=1e-7)
+
+
+def test_msharded_predict_var_matches_regular():
+    """Variance probe solves routed through the pencil-sharded operator
+    (VERDICT r3 #6) == the single-device exact path, d=2 and d=3."""
+    from gpquad.models.efgp import fit_with_grid, predict_var
+    from gpquad.parallel import msharded_predict_var
+    rng = np.random.default_rng(13)
+    mesh = make_mesh(8)
+    for d, mtot, n in ((2, 65, 3000), (3, 9, 2000)):
+        x = jnp.asarray(rng.uniform(0, 1, size=(n, d)))
+        y = jnp.asarray(rng.normal(size=n))
+        kernel = SquaredExponential(lengthscale=0.1 if d == 2 else 0.15,
+                                    variance=1.0, dimension=d)
+        st = fit_with_grid(x, y, kernel, 0.05, jnp.asarray(0.03 if d == 2
+                                                           else 0.11),
+                           mtot, cg_tol=1e-8, solver="cg")
+        xt = jnp.asarray(rng.uniform(0.1, 0.9, size=(33, d)))
+        want = np.asarray(predict_var(st, xt, method="regular",
+                                      cg_tol=1e-10, max_cg_iter=4000))
+        got = np.asarray(msharded_predict_var(st, xt, mesh, cg_tol=1e-10,
+                                              max_cg_iter=4000))
+        assert np.allclose(got, want, rtol=1e-6, atol=1e-10), (d, got, want)
