@@ -42,6 +42,22 @@ def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
     except ImportError:                     # pragma: no cover
         fftn, ifftn = np.fft.fftn, np.fft.ifftn
 
+    def _phase_outer(t, k2):
+        """exp(-2 pi i outer(t, k2)) via anchored recurrence: one exact
+        exp anchor every 32 columns, complex multiplies between (drift
+        <= 32 eps ~ 7e-15 — noise at the oracle's 1e-9 target).  At
+        n=1e6, L=677 the direct np.exp build was the oracle's dominant
+        cost (~15 min of scalar exp); this is ~seconds."""
+        c, L = t.shape[0], k2.shape[0]
+        E = np.empty((c, L), complex)
+        step = np.exp(-2j * np.pi * t)
+        for lo0 in range(0, L, 32):
+            hi0 = min(lo0 + 32, L)
+            E[:, lo0] = np.exp(-2j * np.pi * (t * k2[lo0]))
+            for j in range(lo0 + 1, hi0):
+                E[:, j] = E[:, j - 1] * step
+        return E
+
     n, d = x64.shape
     m = (mtot - 1) // 2
     k2 = np.arange(-2 * m, 2 * m + 1)
@@ -52,8 +68,7 @@ def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
     for lo in range(0, n, chunk):
         sl = slice(lo, lo + chunk)
         c = x64[sl].shape[0]
-        Es = [np.exp(-2j * np.pi * np.outer(x64[sl, t] * h, k2))
-              for t in range(d)]
+        Es = [_phase_outer(x64[sl, t] * h, k2) for t in range(d)]
         Ems = [E[:, m:m + mtot] for E in Es]
         if d == 2:
             v += Es[0].T @ Es[1]
@@ -500,6 +515,120 @@ def scale_config(args, rng):
     return out
 
 
+def matern_config(args, rng):
+    """Matérn-3/2 companion row (VERDICT r3 #8): every other bench config
+    is SE; this one runs the Matérn spectral path — polynomial spectral
+    decay, so eps=1e-4 already forces mtot=93 (M=8649 >
+    DENSE_SOLVER_MAX_M, CG branch) at lengthscale 0.14 — through fit,
+    df64 fit, and the df64 gradient, with accuracy vs the kernel-generic
+    dense f64 oracle (reference formulas kernels/matern.py:100-123)."""
+    import jax
+    import jax.numpy as jnp
+    from gpquad.kernels import Matern
+    from gpquad.models.efgp import fit_with_grid, predict_mean
+    from gpquad.models.gradient import gradient_with_grid
+    from gpquad.models.gradient_high import gradient_high
+    from gpquad.models.precision import fit_high, predict_mean_high
+    from gpquad.quadrature import spectral_grid
+
+    n, d = args.matern_n, 2
+    ell, nu, sigmasq, eps = args.matern_lengthscale, 1.5, 0.01, 1e-4
+    xh = rng.uniform(0, 1, size=(n, d))
+    fh = (np.sin(3 * np.pi * xh[:, 0]) * np.cos(2 * np.pi * xh[:, 1])
+          + 0.5 * np.sin(7 * xh[:, 0] + 5 * xh[:, 1]))
+    yh = fh + 0.1 * rng.normal(size=n)
+    x = jnp.asarray(xh, jnp.float32)
+    y = jnp.asarray(yh, jnp.float32)
+    xnew = jnp.asarray(rng.uniform(0, 1, size=(1000, d)), jnp.float32)
+    kernel = Matern(lengthscale=jnp.float32(ell),
+                    variance=jnp.float32(1.0), nu=nu, dimension=d)
+    _, h, mtot = spectral_grid(kernel, eps, 1.0)
+    mtot = int(mtot)
+    rank = min(args.hard_precond_rank, mtot ** d)
+    out = {"matern_nu": nu, "matern_lengthscale": ell, "matern_n": n,
+           "matern_mtot": mtot, "matern_M": mtot ** d}
+
+    @jax.jit
+    def _reduce(arrays):
+        return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrays)
+
+    def sync(*arrays):
+        return float(_reduce(arrays))
+
+    def f32_path():
+        st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
+                           cg_tol=1e-6, max_cg_iter=2000, solver="cg",
+                           precond_rank=rank)
+        return st, predict_mean(st, xnew)
+
+    st, mean = f32_path()
+    sync(mean)
+    t0 = time.time()
+    st, mean = f32_path()
+    sync(mean)
+    out["matern_fit_s"] = round(time.time() - t0, 4)
+    out["matern_cg_iters"] = int(st.mean_cg_iters)
+
+    def high_path():
+        hs = fit_high(x, y, kernel, sigmasq, float(h), mtot,
+                      solver="iterative", precond_rank=rank)
+        return hs, predict_mean_high(hs, xnew)
+
+    hs, mh = high_path()
+    sync(mh)
+    t0 = time.time()
+    hs, mh = high_path()
+    sync(mh)
+    out["matern_high_fit_s"] = round(time.time() - t0, 4)
+
+    T = args.trace_samples
+    Zp = (rng.integers(0, 2, (T, n)) * 2 - 1).astype(np.float32)
+    Vp = (rng.integers(0, 2, (T, mtot ** d)) * 2 - 1).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+
+    def g32():
+        return gradient_with_grid(x, y, kernel, jnp.float32(sigmasq), h,
+                                  key, mtot=mtot, trace_samples=T,
+                                  cg_tol=1e-4, max_cg_iter=1000,
+                                  solver="cg", precond_rank=rank,
+                                  probes=(jnp.asarray(Zp),
+                                          jnp.asarray(Vp)))
+    g = g32(); sync(g.grad)
+    t0 = time.time(); g = g32(); sync(g.grad)
+    out["matern_grad_s"] = round(time.time() - t0, 4)
+
+    def ghigh():
+        return gradient_high(x, y, kernel, sigmasq, float(h), mtot,
+                             probes=(Zp, Vp), precond_rank=rank)
+    r = ghigh(); sync(r.grad)
+    t0 = time.time(); r = ghigh(); sync(r.grad)
+    out["matern_grad_high_s"] = round(time.time() - t0, 4)
+
+    if not args.skip_accuracy:
+        from gpquad.utils.f64_oracles import (efgp_f64_objects_kernel,
+                                              gradient_f64)
+        obj = efgp_f64_objects_kernel(np.asarray(x), np.asarray(y), kernel,
+                                      sigmasq, float(h), mtot)
+        xt = np.asarray(xnew[:500], np.float64)
+        Ft = np.exp(2j * np.pi * (xt @ obj["xis"].T))
+        mean64 = np.real(Ft @ (obj["ws"] * obj["beta_raw"]))
+        out["matern_max_err_mean_f32_vs_f64"] = round(float(np.max(np.abs(
+            np.asarray(mean[:500], np.float64) - mean64))), 8)
+        out["matern_max_err_mean_high_vs_f64"] = round(float(np.max(np.abs(
+            np.asarray(mh[:500], np.float64) - mean64))), 9)
+        grad64 = gradient_f64(obj, Zp, Vp)
+        g32v = np.asarray(g.grad, np.float64)
+        gh64 = np.asarray(r.grad, np.float64)
+        denom = np.maximum(np.abs(grad64), 1e-10)
+        out["matern_max_rel_err_grad_vs_f64"] = round(
+            float(np.max(np.abs(g32v - grad64) / denom)), 8)
+        out["matern_max_rel_err_grad_high"] = round(
+            float(np.max(np.abs(gh64 - grad64) / denom)), 9)
+        out["matern_grad_f64_components"] = [
+            round(float(v), 6) for v in grad64]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -525,6 +654,12 @@ def main():
     ap.add_argument("--hard3d-lengthscale", type=float, default=0.2,
                     help="d=3 hard-config lengthscale (0.2 -> mtot=21, "
                          "M=9261, forced matrix-free)")
+    ap.add_argument("--skip-matern", action="store_true",
+                    help="Skip the Matérn-3/2 companion config")
+    ap.add_argument("--matern-n", type=int, default=20_000)
+    ap.add_argument("--matern-lengthscale", type=float, default=0.14,
+                    help="Matérn-3/2 lengthscale (0.14 -> mtot=93, "
+                         "M=8649, CG branch; dense f64 oracle tractable)")
     ap.add_argument("--skip-scale", action="store_true",
                     help="Skip the n=1e6 end-to-end scale config")
     ap.add_argument("--scale-n", type=int, default=1_000_000,
@@ -823,6 +958,8 @@ def main():
     if not args.skip_hard:
         out_json.update(hard_config(args, rng))
         out_json.update(hard3d_config(args, rng))
+    if not args.skip_matern:
+        out_json.update(matern_config(args, rng))
     if not args.skip_scale:
         out_json.update(scale_config(args, rng))
 

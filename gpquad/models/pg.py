@@ -28,8 +28,8 @@ from sklearn.base import BaseEstimator, ClassifierMixin, RegressorMixin
 from sklearn.utils.validation import check_array, check_is_fitted, check_X_y
 
 from ..kernels import SquaredExponential
-from ..quadrature import (bucket_mtot, bucket_points, flat_grid_mask,
-                          grid_geometry_jit)
+from ..quadrature import (bucket_mtot, bucket_neighbors, bucket_points,
+                          flat_grid_mask, grid_geometry_jit)
 from . import pg_core as core
 
 __all__ = ["PolyagammaGPClassifier", "PolyagammaGPNegativeBinomialRegressor"]
@@ -111,7 +111,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                  predictive_variance_probes=16,
                  predictive_variance_chebyshev_nodes=7, warm_start=False,
                  random_state=None, dtype="float32", verbose=0,
-                 store_history=False):
+                 store_history=False, prefetch_rungs=False):
         self.kernel = kernel
         self.lengthscale_init = lengthscale_init
         self.variance_init = variance_init
@@ -151,6 +151,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         self.dtype = dtype
         self.verbose = verbose
         self.store_history = store_history
+        self.prefetch_rungs = prefetch_rungs
 
     # ------------------------------------------------------------------
     def _make_likelihood(self):
@@ -185,8 +186,17 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                 "(use 'squared_exponential' or a Matern variant).") from e
         return kern.with_hypers(jnp.asarray([lengthscale, variance], rd))
 
-    def _plan_grid(self, X, lengthscale, variance):
-        """Host-side bucketed grid plan: (kernel, h, mtot, mask)."""
+    def _plan_grid(self, X, lengthscale, variance, min_mtot: int = 0):
+        """Host-side bucketed grid plan: (kernel, h, mtot, mask).
+
+        ``min_mtot`` implements rung HYSTERESIS (grow-only grids within a
+        fit): a larger rung with the planned ``hm`` masked in is
+        algebraically identical to the planned grid (the surplus nodes
+        carry exactly-zero weight), so once a rung's outer-step program
+        is compiled the fit never pays a fresh ~20 s compile just because
+        the lengthscale grew (scripts/profile_compile.py; cold start
+        measured 72.1 s at n=1e5 when the trajectory re-planned downward
+        mid-fit)."""
         d = X.shape[1]
         kern = self._make_kernel_obj(lengthscale, variance, d)
         L = float(np.max(np.asarray(X).max(0) - np.asarray(X).min(0)))
@@ -195,13 +205,14 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         h, hm_real = grid_geometry_jit(kern, self.spectral_eps, L,
                                        trunc_eps=self.trunc_eps)
         hm = int(np.ceil(float(hm_real) - 1e-12))
-        mtot = bucket_mtot(2 * hm + 1)
+        mtot = max(bucket_mtot(2 * hm + 1), int(min_mtot))
         mask = flat_grid_mask(mtot, d, hm, dtype=self._rdtype())
         return kern, h, mtot, mask
 
-    def _spectral(self, X, lengthscale, variance):
+    def _spectral(self, X, lengthscale, variance, min_mtot: int = 0):
         """Bucketed-grid spectral state for the current hypers."""
-        kern, h, mtot, mask = self._plan_grid(X, lengthscale, variance)
+        kern, h, mtot, mask = self._plan_grid(X, lengthscale, variance,
+                                              min_mtot=min_mtot)
         return core.build_pg_spectral_state(X, kern, h, mtot=mtot,
                                             ws_mask=mask)
 
@@ -282,12 +293,59 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         pending: List[Dict] = []   # device scalars, fetched once at the end
         e_probes = None
         ores = None
+        seen_rungs: set = set()
+        prefetched_from: set = set()
+        rung_floor = 0         # grow-only rung hysteresis (see _plan_grid)
+
+        def _prefetch_neighbors(cur_mtot, kern, h, kappa, pg_b, e_probes,
+                                m_key, raw, opt_state):
+            """Warm the adjacent bucket rungs' outer-step programs on
+            background threads: one rung compile is ~20 s on the chip
+            (scripts/profile_compile.py), so a hyper move that crosses a
+            rung mid-fit stalls the loop; prefetching overlaps those
+            compiles with the useful iterations.  The prefetch call runs
+            the REAL jitted outer_step on current-valued arguments (only
+            ``mtot``/mask swap), so it lands in the same jit cache the
+            training loop hits.
+
+            OFF by default: measured on the v5e tunnel, the concurrent
+            compiles contend with the critical-path compile and the
+            throwaway execution contends for the device — cold fits got
+            SLOWER (36.2 -> 43.6 s at n=2e4, 72.1 -> 96.3 s at n=1e5).
+            The grow-only rung hysteresis (``_plan_grid(min_mtot=...)``)
+            eliminates the common recompile source instead; prefetch
+            remains an option for lengthscale-SHRINKING workloads on
+            hosts with idle cores."""
+            import threading
+            d = X_t.shape[1]
+            for mt in bucket_neighbors(cur_mtot):
+                if mt is None or mt in seen_rungs or mt ** d > 200_000:
+                    continue
+                seen_rungs.add(mt)
+                mask_n = flat_grid_mask(mt, d, (mt - 1) // 2, dtype=rd)
+
+                def work(mt=mt, mask_n=mask_n):
+                    try:
+                        core.outer_step(
+                            X_t, kern, h, mask_n, self._delta_t_, kappa,
+                            pg_b, e_probes, m_key, raw, opt_state, mtot=mt,
+                            e_iters=self.e_step_iters,
+                            n_m_probes=self.n_m_probes, rho0=self.rho0,
+                            gamma=self.gamma, e_tol=self.e_step_tol,
+                            cg_tol=self.cg_tol, lr=self.lr, m_mask=m_mask)
+                    except Exception:   # prefetch is best-effort only
+                        pass
+
+                threading.Thread(target=work, daemon=True).start()
+
         for outer in range(self.max_iter):
             likelihood = self._make_likelihood()
             kappa, pg_b = _kappa_pgb(likelihood)
             pos = np.exp(np.asarray(raw))
             kern, h, mtot, mask = self._plan_grid(X_t, float(pos[0]),
-                                                  float(pos[1]))
+                                                  float(pos[1]),
+                                                  min_mtot=rung_floor)
+            rung_floor = max(rung_floor, mtot)
             if e_probes is None or not self.reuse_e_probes:
                 e_probes = self._rademacher(self._key(17 * (outer + 1)),
                                             (self.n_e_probes, X_t.shape[0]))
@@ -306,6 +364,15 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             self._last_mean_, self._last_sigma_diag_ = ores.mean, \
                 ores.sigma_diag
             raw, opt_state = ores.raw, ores.opt_state
+            if self.prefetch_rungs and mtot not in prefetched_from:
+                # on every NEW rung the loop lands on, warm its (unseen)
+                # neighbors — a monotone hyper trajectory that walks the
+                # ladder then never stalls on a compile
+                prefetched_from.add(mtot)
+                seen_rungs.add(mtot)
+                _prefetch_neighbors(mtot, kern, h, kappa, pg_b, e_probes,
+                                    self._key(10_000 + outer), raw,
+                                    opt_state)
 
             aux = self._step_auxiliary_parameters(targets=y_t, outer=outer)
             record = {"iter": float(outer), "raw": raw, "grad": ores.m_grad,
@@ -354,7 +421,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         likelihood = self._make_likelihood()
         kappa, pg_b = _kappa_pgb(likelihood)
         spectral = self._spectral(X_t, self._lengthscale_v_,
-                                  self._variance_v_)
+                                  self._variance_v_, min_mtot=rung_floor)
         if e_probes is None:
             e_probes = self._rademacher(self._key(999_999),
                                         (self.n_e_probes, X_t.shape[0]))

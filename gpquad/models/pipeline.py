@@ -122,14 +122,16 @@ class FusedHighResult(NamedTuple):
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
     "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver",
-    "nufft_method", "nufft_caps", "passes", "chunk", "slab"))
+    "nufft_method", "nufft_caps", "passes", "chunk", "slab",
+    "exact_tables"))
 def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
                     ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
                     mtot: int, trace_samples: int, var_probes: int,
                     cg_tol: float, var_cg_tol: float, grad_cg_tol: float,
                     max_cg_iter: int, var_max_cg_iter, solver: str,
                     nufft_method: str, nufft_caps, passes: int, chunk: int,
-                    slab: int) -> FusedHighResult:
+                    slab: int, exact_tables: bool = False
+                    ) -> FusedHighResult:
     from .precision import _fit_high_core, _predict_high_jit
     fused = fit_predict_grad(
         x, y, xnew, kernel, sigmasq, h, key, mtot=mtot,
@@ -139,7 +141,7 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
         solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps)
     hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
                                  sig_hi, sig_lo, mtot=mtot, passes=passes,
-                                 chunk=chunk, exact_tables=True)
+                                 chunk=chunk, exact_tables=exact_tables)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot,
@@ -150,13 +152,22 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
 
 def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                           passes: int = 8, chunk: int = 8, slab: int = 2048,
-                          fuse: bool = True, **kw) -> FusedHighResult:
+                          fuse: bool = True, exact_tables: bool = False,
+                          **kw) -> FusedHighResult:
     """The full north-star workload as ONE compiled program: the fused f32
     pass (mean + stochastic variance + hyper-gradient) plus the df64
     high-precision refit + mean that delivers eps=1e-6 agreement with the
     f64 dense oracle.  Fusing them saves the per-dispatch ~25-30 ms tunnel
     latency of running the two paths back-to-back (the df64 planning
     splits are host f64, so ``h``/``sigmasq``/hypers must be concrete).
+
+    ``exact_tables`` defaults FALSE here (unlike ``fit_high``): this
+    program ships the df64 MEAN only, and the chunked-MXU lag tables'
+    ~1e-9 floor sits two orders inside the 1e-6 mean target — while the
+    ozaki exact builder alone costs ~56 s of TPU compile
+    (profile: 72.8 s vs 16.5 s for the refit sub-program,
+    scripts/profile_compile.py; VERDICT r3 cold-start regression
+    8.3 -> 48.7 s).  Pass True to pin variance-grade tables.
 
     ``fuse=False`` runs the two sub-programs as separate dispatches —
     numerically identical, but XLA:CPU's compile time on the merged module
@@ -188,14 +199,14 @@ def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
         return _fused_high_jit(x, jnp.asarray(y), xnew, kernel, sigmasq, h,
                                key, ws_hi, ws_lo, h_hi, h_lo, sig_hi,
                                sig_lo, mtot=mtot, passes=passes, chunk=chunk,
-                               slab=slab, **kw)
+                               slab=slab, exact_tables=exact_tables, **kw)
     from .precision import _fit_high_core, _predict_high_jit
     fused = fit_predict_grad(x, jnp.asarray(y), xnew, kernel, sigmasq, h,
                              key, mtot=mtot, **kw)
     hstate, res = _fit_high_core(x, jnp.asarray(y), ws_hi, ws_lo, h_hi,
                                  h_lo, sig_hi, sig_lo, mtot=mtot,
                                  passes=passes, chunk=chunk,
-                                 exact_tables=True)
+                                 exact_tables=exact_tables)
     mean_high = _predict_high_jit(xnew, hstate.beta, hstate.beta,
                                   jnp.real(hstate.ws),
                                   ws_lo, h_hi, h_lo, mtot=mtot, d=d,

@@ -209,6 +209,27 @@ def bucket_points(n: int, minimum: int = 100) -> int:
     return rung
 
 
+def bucket_neighbors(mtot: int, minimum: int = 9):
+    """``(down, up)`` adjacent rungs of the :func:`bucket_mtot` ladder
+    around ``mtot`` (``down`` is None at the ladder bottom).
+
+    Used by the PG estimator's cold-start rung prefetch: hyper moves
+    that cross a rung boundary would otherwise stall the fit on a fresh
+    ~20 s outer-step compile (scripts/profile_compile.py), so the
+    estimator warms the adjacent rungs' programs on a background thread
+    while iterating on the current one.
+    """
+    r, prev = minimum, None
+    while True:
+        cur = r + 1 if r % 2 == 0 else r
+        nxt_raw = int(r * _BUCKET_GROWTH) + 1
+        nxt = nxt_raw + 1 if nxt_raw % 2 == 0 else nxt_raw
+        if cur >= mtot:
+            return prev, nxt
+        prev = cur
+        r = nxt_raw
+
+
 @partial(jax.jit, static_argnames=("mtot_pad", "d", "dtype"))
 def flat_grid_mask(mtot_pad: int, d: int, hm, dtype=jnp.float32):
     """Flat d-dim active-node mask for a padded tensor grid: the product of

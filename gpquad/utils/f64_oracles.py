@@ -200,3 +200,32 @@ def pg_var_f64(obj: Dict, x_new: np.ndarray) -> np.ndarray:
     e = ws2 / Ds
     return np.maximum(
         np.real(np.sum(phi.conj().T * (e[:, None] * Z), axis=0)), 0.0)
+
+
+def efgp_f64_objects_kernel(x, y, kernel, sigmasq, h, mtot: int) -> Dict:
+    """Kernel-generic :func:`efgp_f64_objects`: density and dS/dlengthscale
+    come from the host-f64 formulas shared with the df64 tier
+    (models/precision._spectral_density_np /
+    models/gradient_high._spectral_dlength_np) — SE or Matérn, any nu."""
+    from ..models.gradient_high import _spectral_dlength_np
+    from ..models.precision import _spectral_density_np
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n, d = x.shape
+    m = (mtot - 1) // 2
+    k1 = np.arange(-m, m + 1)
+    K = np.stack(np.meshgrid(*([k1] * d), indexing="ij"), -1).reshape(-1, d)
+    xis = (h * K).astype(np.float64)
+    S = _spectral_density_np(kernel, xis)
+    ws = np.sqrt(S * h ** d)
+    F = np.exp(2j * np.pi * (x @ xis.T))
+    T = F.conj().T @ F
+    M = T.shape[0]
+    A = ws[:, None] * T * ws[None, :] + sigmasq * np.eye(M)
+    Fy = F.conj().T @ y
+    beta_raw = np.linalg.solve(A, ws * Fy)
+    Dl = (h ** d) * _spectral_dlength_np(kernel, xis)
+    return dict(x=x, y=y, F=F, T=T, A=A, ws=ws, Fy=Fy, beta_raw=beta_raw,
+                Dl=Dl, xis=xis, n=n, d=d, M=M, h=float(h), mtot=mtot,
+                ell=float(kernel.lengthscale), var=float(kernel.variance),
+                sigmasq=float(sigmasq))
