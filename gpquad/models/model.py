@@ -203,6 +203,15 @@ class EFGP:
         """Plan (h, mtot, hm) for the current hypers; optionally bucket the
         grid size so the jitted gradient step keeps a static shape.
 
+        Bucketed plans apply grow-only rung HYSTERESIS across the model's
+        lifetime: a larger rung with the planned ``hm`` masked in is
+        algebraically identical (surplus nodes carry exactly-zero
+        quadrature weight), so a hyper-learning trajectory whose
+        lengthscale grows never pays a fresh ~15 s gradient-step compile
+        for a smaller rung it has already outgrown (same cold-start fix
+        as the PG estimator's ``_plan_grid``; the hm-driven mask keeps
+        every step exact).
+
         One stacked device->host read (each scalar read costs a full
         ~25 ms tunnel round trip on the remote-TPU backend)."""
         kernel = self.kernel
@@ -211,7 +220,9 @@ class EFGP:
         hm = int(np.ceil(float(hm_real) - 1e-12))
         mtot = 2 * hm + 1
         if bucket:
-            return float(h), bucket_mtot(mtot), hm
+            mtot = max(bucket_mtot(mtot), getattr(self, "_mtot_floor", 0))
+            self._mtot_floor = mtot
+            return float(h), mtot, hm
         return float(h), mtot, hm
 
     def compute_gradients(self, *, trace_samples: int = 10,

@@ -84,11 +84,12 @@ def test_fused_high_matches_separate_paths(rng):
                        atol=1e-12)
     assert np.allclose(np.asarray(res.fused.grad), np.asarray(sep.grad),
                        rtol=1e-10)
-    # the pipeline builds tables with the error-free digit-matmul
-    # builder (exact_tables=True -> ops/ozaki dispatch); mirror that
-    # for bit parity
+    # the pipeline defaults to CHUNKED lag tables (the ozaki exact
+    # builder alone costs ~56 s of TPU compile and the fused program
+    # ships the df64 MEAN only — see fit_predict_grad_high); mirror
+    # that for bit parity
     hs = fit_high(x, y, kernel, sigmasq, h, mtot, chunk=64,
-                  exact_tables=True)
+                  exact_tables=False)
     mh = predict_mean_high(hs, xnew, slab=256)
     assert np.allclose(np.asarray(res.mean_high), np.asarray(mh), atol=1e-12)
     assert float(res.high_residual) < 1e-6
