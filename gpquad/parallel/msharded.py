@@ -382,8 +382,8 @@ def msharded_gradient(x, y, kernel, sigmasq, h, key, mesh: Mesh, *,
     right-hand sides, and the batched trace CG — running against
     :func:`make_msharded_A_mean`, so per-device frequency memory is
     O(P1*P2/k) for the whole gradient step, not just the fit
-    (VERDICT r2 #4's remaining half).  d=2; probes optional for exact
-    parity tests.
+    (VERDICT r2 #4's remaining half).  d in {2, 3} (2-D pencils, 3-D
+    slabs); probes optional for exact parity tests.
     """
     from functools import partial as _partial
 
@@ -398,10 +398,10 @@ def msharded_gradient(x, y, kernel, sigmasq, h, key, mesh: Mesh, *,
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
-    if x.shape[1] != 2:
-        raise NotImplementedError("msharded_gradient requires d == 2")
+    if x.shape[1] not in (2, 3):
+        raise NotImplementedError("msharded_gradient requires d in {2, 3}")
     n = x.shape[0]
-    M = mtot ** 2
+    M = mtot ** x.shape[1]
     if probes is None:
         kz, kv = jax.random.split(jax.random.fold_in(key, 1))
         rdtype = x.dtype

@@ -370,3 +370,27 @@ def test_msharded_predict_var_matches_regular():
         got = np.asarray(msharded_predict_var(st, xt, mesh, cg_tol=1e-10,
                                               max_cg_iter=4000))
         assert np.allclose(got, want, rtol=1e-6, atol=1e-10), (d, got, want)
+
+
+def test_msharded_gradient_3d_matches_single():
+    """d=3 M-sharded hyper-gradient == single-device gradient."""
+    from gpquad.models.gradient import gradient_with_grid
+    from gpquad.parallel import msharded_gradient
+    rng = np.random.default_rng(14)
+    n, mtot, h = 2000, 9, 0.11
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 3)))
+    y = jnp.asarray(rng.normal(size=n))
+    kernel = SquaredExponential(lengthscale=0.15, variance=1.0, dimension=3)
+    T = 4
+    Z = jnp.asarray(rng.integers(0, 2, (T, n)) * 2.0 - 1)
+    V = jnp.asarray(rng.integers(0, 2, (T, mtot**3)) * 2.0 - 1)
+    ref = gradient_with_grid(x, y, kernel, 0.05, jnp.asarray(h),
+                             jax.random.PRNGKey(0), mtot=mtot,
+                             trace_samples=T, cg_tol=1e-10, probes=(Z, V))
+    mesh = make_mesh(8)
+    res = msharded_gradient(x, y, kernel, 0.05, h, jax.random.PRNGKey(0),
+                            mesh, mtot=mtot, trace_samples=T, cg_tol=1e-10,
+                            probes=(Z, V))
+    assert np.allclose(np.asarray(res.grad), np.asarray(ref.grad),
+                       rtol=1e-6), (np.asarray(res.grad),
+                                    np.asarray(ref.grad))
