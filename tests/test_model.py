@@ -186,3 +186,62 @@ def test_precond_rank_option(rng):
     assert np.allclose(g0, g1, rtol=1e-4, atol=1e-6)
     m1.fit()
     assert m1._state.defl_P is not None
+
+
+def test_grid_plan_rung_hysteresis(rng):
+    """Bucketed plans are grow-only across a model's lifetime: once a
+    rung is used, smaller planned grids reuse it (with the planned hm
+    masked in — algebraically exact), so lengthscale growth never
+    recompiles (the cold-start fix measured on usa_temp/world_temp)."""
+    x, y = make_data(rng, n=200, d=2, lengthscale=0.1, variance=1.0)
+    model = EFGP(x, y, "SE", sigmasq=0.1, eps=1e-3, estimate_params=False)
+    model.params = model.params.replace_raw(
+        jnp.log(jnp.asarray([0.05, 1.0, 0.1])))
+    _, mtot_small_ell, hm0 = model._grid_plan(True)
+    # grow the lengthscale: planned rung shrinks, floor keeps the big one
+    model.params = model.params.replace_raw(
+        jnp.log(jnp.asarray([0.4, 1.0, 0.1])))
+    _, mtot2, hm2 = model._grid_plan(True)
+    assert mtot2 == mtot_small_ell            # floor held
+    assert hm2 < hm0                          # mask shrinks instead
+    # shrink below the floor again: floor grows with the plan
+    model.params = model.params.replace_raw(
+        jnp.log(jnp.asarray([0.02, 1.0, 0.1])))
+    _, mtot3, _ = model._grid_plan(True)
+    assert mtot3 > mtot_small_ell
+    # unbucketed plans are untouched by the floor
+    _, mtot_raw, _ = model._grid_plan(False)
+    assert mtot_raw < mtot3
+
+
+def test_gradient_results_unchanged_by_hysteresis_floor(rng):
+    """A gradient computed on a floored (larger, masked) rung equals the
+    gradient on the freshly planned rung — the surplus nodes carry
+    exactly-zero weight.  Probes are matched across the two grids (the
+    frequency-space Rademacher batch embeds in the larger grid's center
+    block; padded modes carry zero weight, so their probe values are
+    algebraically inert)."""
+    x, y = make_data(rng, n=300, d=1, lengthscale=0.25, variance=1.0)
+    model = EFGP(x, y, "SE", sigmasq=0.1, eps=1e-4, estimate_params=False)
+    model.params = model.params.replace_raw(
+        jnp.log(jnp.asarray([0.25, 1.0, 0.1])))
+    prng = np.random.default_rng(3)
+    T = 4
+    Z = jnp.asarray(prng.integers(0, 2, (T, x.shape[0])) * 2.0 - 1)
+
+    model._mtot_floor = 0
+    _, mtot_small, _ = model._grid_plan(True)
+    model._mtot_floor = 0                       # plan above set the floor
+    V_small = prng.integers(0, 2, (T, mtot_small)) * 2.0 - 1
+    g_fresh = np.asarray(model.compute_gradients(
+        trace_samples=T, cg_tol=1e-10, probes=(Z, jnp.asarray(V_small))))
+
+    mtot_big = 2 * mtot_small + 9               # force a larger rung
+    model._mtot_floor = mtot_big
+    off = (mtot_big - mtot_small) // 2
+    V_big = prng.integers(0, 2, (T, mtot_big)) * 2.0 - 1
+    V_big[:, off:off + mtot_small] = V_small    # center-embed (d=1)
+    g_floored = np.asarray(model.compute_gradients(
+        trace_samples=T, cg_tol=1e-10, probes=(Z, jnp.asarray(V_big))))
+    assert np.allclose(g_fresh, g_floored, rtol=1e-6, atol=1e-8), (
+        g_fresh, g_floored)
