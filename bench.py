@@ -1009,7 +1009,11 @@ def emit(out_json):
             headline[sk] = out_json[k]
     headline["full"] = "experiments/bench_full.json"
     line = json.dumps(headline)
-    assert len(line) < 1900, f"headline line too long: {len(line)}"
+    if len(line) >= 1900:   # never lose the north star to truncation
+        headline = {k: out_json[k]
+                    for k in ("metric", "value", "unit", "vs_baseline")}
+        headline["full"] = "experiments/bench_full.json"
+        line = json.dumps(headline)
     print(line)
 
 
