@@ -140,11 +140,12 @@ _BANDED_BH = 8          # band height (rows); slab height is BH + 3
 # "auto" (batch-aware pallas on TPU, einsum elsewhere).
 _INTERP_IMPL = "auto"
 
-# measured v5e crossover (n=2e5, 512^2): pallas wins the full matvec at
-# small batch (50 vs 73 ms at B=4, forward interp carries it) but the
-# batch-tiled kernel loses slightly at CG-variance batches (246 vs
-# 207 ms at B=200); the training path runs at B <= 1+trace_samples.
-_PALLAS_MAX_BATCH = 32
+# measured v5e (n=2e5, 512^2): pallas wins interp_T at every batch
+# since the kernel stacks the batch tile into one MXU matmul — B=4:
+# 30.5 vs 32.6 ms einsum; B=200 (CG-variance batches): 115.7 vs
+# 203.5 ms einsum (the old per-lane dots used ~11 of the MXU's 128
+# result rows and lost at 246 ms).  Kept as a knob for debugging.
+_PALLAS_MAX_BATCH = 1 << 30
 
 
 def set_interp_impl(impl: str) -> None:

@@ -20,7 +20,9 @@ the banded-dense path (models/ski.py _plan_banded_interp).
 Runs in interpreter mode off-TPU so the CPU suite tests it exactly.
 Measured on v5e (n=2e5, 512^2 grid, B=4): full SKI matvec 50 ms Pallas
 vs 73 ms banded-einsum vs ~150 ms scatter+gather; the forward kernel
-carries the win (40 vs 64 ms), the transpose is par (30 vs 28 ms).
+carries the win (40 vs 64 ms), the transpose wins at every batch once
+the batch tile stacks into one MXU matmul (B=4: 30.5 vs 32.6 ms;
+B=200: 115.7 vs 203.5 ms einsum).
 """
 from __future__ import annotations
 
@@ -79,8 +81,15 @@ def _interp_T_kernel(i0_ref, c0_ref, wr_ref, wc_ref, us_ref, out_ref, *,
     # HIGHEST (see ops/pallas_nufft.py)
     dot = functools.partial(jnp.dot, preferred_element_type=dt,
                             precision=jax.lax.Precision.HIGHEST)
-    slab = jnp.stack([dot(At * us_ref[0, b, :].astype(dt)[None, :], Wc)
-                      for b in range(us_ref.shape[1])], axis=0)[None]
+    # stack the batch into ONE (bb*rows, cc) x (cc, tw) matmul: the
+    # per-lane (rows, cc) dot uses only ~rows (<16) of the MXU's 128
+    # result rows, which is why the einsum path used to win at CG-variance
+    # batches (B=200); stacking restores full MXU occupancy and builds
+    # the one-hot selectors once per batch TILE instead of once per lane
+    bb = us_ref.shape[1]
+    S = (us_ref[0, :, :].astype(dt)[:, None, :]
+         * At[None, :, :]).reshape(bb * rows, cc)
+    slab = dot(S, Wc).reshape(1, bb, rows, tw)
 
     @pl.when(pl.program_id(3) == 0)
     def _():
