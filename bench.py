@@ -447,8 +447,11 @@ def scale_config(args, rng):
     key = jax.random.PRNGKey(11)
 
     def var():
+        # cg_tol 1e-3: the 64-probe Hutchinson floor is ~12%, so the
+        # 1e-4 solve (664 deflated iters at this conditioning) buys
+        # nothing the estimator can see; 1e-3 is statistically free
         return predict_var(st, xnew[:1000], method="stochastic", key=key,
-                           probes=args.scale_probes, cg_tol=1e-4,
+                           probes=args.scale_probes, cg_tol=1e-3,
                            max_cg_iter=1000)
     v = var(); sync(v)
     t0 = time.time(); v = var(); sync(v)
