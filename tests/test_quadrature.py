@@ -93,3 +93,21 @@ def test_grid_geometry_traced_matches_host():
     xis, h, mtot = spectral_grid(k, 1e-4, 1.0)
     assert np.allclose(float(h_t), h, rtol=1e-9)
     assert int(np.ceil(float(hm_t) - 1e-12)) == (mtot - 1) // 2
+
+
+def test_bucket_neighbors_consistent_with_ladder():
+    """bucket_neighbors returns the true adjacent rungs: for every raw
+    size m, the rung bucket_mtot(m) sits strictly between its reported
+    neighbors, and no other rung lives in between (the PG/EFGP cold-start
+    hysteresis relies on this)."""
+    from gpquad.quadrature import bucket_neighbors
+    rungs = set(bucket_mtot(m) for m in range(1, 5000))
+    for r in sorted(rungs)[:-1]:
+        down, up = bucket_neighbors(r)
+        assert up in rungs and up > r
+        assert not any(r < q < up for q in rungs)
+        if down is not None:
+            assert down in rungs and down < r
+            assert not any(down < q < r for q in rungs)
+        else:
+            assert r == min(rungs)
