@@ -140,12 +140,18 @@ _BANDED_BH = 8          # band height (rows); slab height is BH + 3
 # "auto" (batch-aware pallas on TPU, einsum elsewhere).
 _INTERP_IMPL = "auto"
 
-# measured v5e (n=2e5, 512^2): pallas wins interp_T at every batch
-# since the kernel stacks the batch tile into one MXU matmul — B=4:
-# 30.5 vs 32.6 ms einsum; B=200 (CG-variance batches): 115.7 vs
-# 203.5 ms einsum (the old per-lane dots used ~11 of the MXU's 128
-# result rows and lost at 246 ms).  Kept as a knob for debugging.
-_PALLAS_MAX_BATCH = 1 << 30
+# measured v5e (n=2e5, 512^2), per-op crossovers:
+# - interp_T (transpose): pallas wins at EVERY batch since the kernel
+#   stacks the batch tile into one MXU matmul — B=4: 30.5 vs 32.6 ms
+#   einsum; B=200 (CG-variance batches): 115.7 vs 203.5 ms (the old
+#   per-lane dots used ~11 of the MXU's 128 result rows, 246 ms).
+# - interp (forward): the per-lane dot's output is already a full
+#   (512, 512) tile, so batch stacking cannot help (and Mosaic rejects
+#   the minor-dim reshape it needs); the bb-loop loses to the XLA
+#   gather at large batch — B=8: 48.3 vs 62.1 ms, B=16: 64.3 vs
+#   62.2 ms, B=200: 491 vs 72.5 ms.  Forward crossover ~12.
+_PALLAS_MAX_BATCH = 1 << 30            # transpose: no batch limit
+_PALLAS_FWD_MAX_BATCH = 12             # forward: gather wins beyond
 
 
 def set_interp_impl(impl: str) -> None:
@@ -159,12 +165,15 @@ def set_interp_impl(impl: str) -> None:
     _INTERP_IMPL = impl
 
 
-def _interp_impl(batch: int = 1) -> str:
+def _interp_impl(batch: int = 1, op: str = "T") -> str:
     """Resolve the backend at trace time; ``batch`` is the static batch
-    size of the call being traced (shapes are static under jit)."""
+    size of the call being traced (shapes are static under jit), ``op``
+    the direction ("T" transpose / "fwd" forward) — the two kernels have
+    different batch crossovers (see _PALLAS_*_MAX_BATCH above)."""
     if _INTERP_IMPL != "auto":
         return _INTERP_IMPL
-    if _pallas_on_tpu() and batch <= _PALLAS_MAX_BATCH:
+    cap = _PALLAS_FWD_MAX_BATCH if op == "fwd" else _PALLAS_MAX_BATCH
+    if _pallas_on_tpu() and batch <= cap:
         return "pallas"
     return "einsum"
 
@@ -258,8 +267,8 @@ class SKIOperator:
         backend the stencil reads become MXU contractions against the
         same VMEM one-hot selectors (ops/pallas_interp.py)."""
         if (self.banded is not None and len(self.grid_shape) == 2
-                and _interp_impl(int(np.prod(v.shape[:-1], dtype=np.int64)))
-                == "pallas"):
+                and _interp_impl(int(np.prod(v.shape[:-1], dtype=np.int64)),
+                                 op="fwd") == "pallas"):
             return self._interp_banded_pallas(v)
         g = jnp.take(v, self.idx, axis=-1)          # (..., n, 4^d)
         return jnp.sum(g * self.wvals, axis=-1)

@@ -194,7 +194,11 @@ def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
         Wc = Wc + wc_ref[0, j, :][:, None].astype(dt) * (
             ciota == (c0 + j)[:, None]).astype(dt)
 
-    # contract the row axis on the MXU: (rows, cc) x (rows, tw) -> (cc, tw)
+    # contract the row axis on the MXU: (rows, cc) x (rows, tw) -> (cc, tw).
+    # Unlike the transpose kernel, the per-lane dot's OUTPUT is already
+    # (cc, tw) = (512, 512) — full MXU occupancy — so batch stacking buys
+    # nothing here (a tw-first stacked variant was tried and needs a
+    # minor-dim reshape Mosaic rejects: vector<512x44> -> <512x4x11>).
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
