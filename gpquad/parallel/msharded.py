@@ -558,42 +558,82 @@ def _pencil_conv2d_df(xp, kf, *, axis_name: str):
     return df_ifft(a, axis=-1)
 
 
+def _pencil_conv3d_df(xp, kf, *, axis_name: str):
+    """df64 circular 3-D convolution: slab decomposition of
+    :func:`_pencil_conv3d` with every FFT the df64 radix-2 and the
+    pointwise multiply complex double-word.  ``xp``: CDF of
+    (B, P1, P2, P3/k) local words; ``kf``: CDF of (P1, P2/k, P3)."""
+    from ..ops.df64 import cdf_mul
+    from ..ops.df64_fft import df_fft, df_ifft
+
+    def cmap(f, c):
+        return tuple(tuple(f(w) for w in pair) for pair in c)
+
+    a = df_fft(xp, axis=1)
+    a = df_fft(a, axis=2)
+    a = cmap(lambda w: jax.lax.all_to_all(w, axis_name, split_axis=2,
+                                          concat_axis=3, tiled=True), a)
+    a = df_fft(a, axis=-1)
+    a = cdf_mul(a, cmap(lambda w: w[None], kf))
+    a = df_ifft(a, axis=-1)
+    a = cmap(lambda w: jax.lax.all_to_all(w, axis_name, split_axis=3,
+                                          concat_axis=2, tiled=True), a)
+    a = df_ifft(a, axis=2)
+    return df_ifft(a, axis=1)
+
+
 def make_msharded_toeplitz_df_apply(T_df, mesh: Mesh, axis: str = "dp"):
     """df64 pencil-sharded BTTB apply: the (re, im) DF-pair analogue of
     :func:`make_msharded_toeplitz_apply`.  ``T_df``: ops/toeplitz_df
-    ``ToeplitzDF`` (d=2).  Returns ``A(x_re, x_im) -> (t_re, t_im)`` on
-    flat (..., M) DF pairs; the df64 symbol words are column-slab
-    sharded, so per-device operator state is 4 * P1 * P2 / k words."""
-    if len(T_df.ns) != 2:
-        raise NotImplementedError("M-sharded df64 Toeplitz requires d == 2")
-    n1, n2 = T_df.ns
-    P1, P2 = T_df.fft_shape
+    ``ToeplitzDF`` (d in {2, 3}).  Returns ``A(x_re, x_im) ->
+    (t_re, t_im)`` on flat (..., M) DF pairs; the df64 symbol words are
+    slab-sharded, so per-device operator state is 4 * prod(P) / k
+    words."""
+    d = len(T_df.ns)
+    if d not in (2, 3):
+        raise NotImplementedError(
+            "M-sharded df64 Toeplitz requires d in {2, 3}")
+    ns = T_df.ns
+    fshape = T_df.fft_shape
     k = mesh.shape[axis]
-    if P1 % k or P2 % k:
+    if any(s % k for s in fshape[1:]):
         raise ValueError(
             f"fft_shape {T_df.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")
-    spec = NamedSharding(mesh, P(None, axis))
+    if d == 2:
+        spec = NamedSharding(mesh, P(None, axis))
+        conv = shard_map(partial(_pencil_conv2d_df, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, axis, None), P(None, axis)),
+                         out_specs=P(None, axis, None))
+    else:
+        spec = NamedSharding(mesh, P(None, axis, None))
+        conv = shard_map(partial(_pencil_conv3d_df, axis_name=axis),
+                         mesh=mesh,
+                         in_specs=(P(None, None, None, axis),
+                                   P(None, axis, None)),
+                         out_specs=P(None, None, None, axis))
     kf = tuple(tuple(jax.lax.with_sharding_constraint(w, spec)
                      for w in pair) for pair in T_df.symbol)
-    conv = shard_map(partial(_pencil_conv2d_df, axis_name=axis), mesh=mesh,
-                     in_specs=(P(None, axis, None), P(None, axis)),
-                     out_specs=P(None, axis, None))
+
+    pad_set = tuple(slice(0, n) for n in ns)
+    central = tuple(slice(n - 1, 2 * n - 1) for n in ns)
+    size = 1
+    for _n in ns:
+        size *= _n
 
     def pad_word(w):
-        b = w.reshape((-1, n1, n2))
-        out = jnp.zeros((b.shape[0], P1, P2), w.dtype)
-        return out.at[:, :n1, :n2].set(b)
-
-    size = n1 * n2
+        b = w.reshape((-1,) + ns)
+        out = jnp.zeros((b.shape[0],) + fshape, w.dtype)
+        return out.at[(slice(None),) + pad_set].set(b)
 
     def T_apply(x_re, x_im):
         batch = x_re[0].shape[:-1]
         xp = ((pad_word(x_re[0]), pad_word(x_re[1])),
               (pad_word(x_im[0]), pad_word(x_im[1])))
         y = conv(xp, kf)
-        crop = lambda w: w[:, n1 - 1:2 * n1 - 1, n2 - 1:2 * n2 - 1] \
-            .reshape(batch + (size,))
+        crop = lambda w: w[(slice(None),) + central].reshape(
+            batch + (size,))
         return ((crop(y[0][0]), crop(y[0][1])),
                 (crop(y[1][0]), crop(y[1][1])))
 
@@ -614,7 +654,9 @@ def msharded_fit_high(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
     1e-6 oracle-agreement story survives onto grids whose padded FFT
     state only fits sharded (the round-2 verdict's "M-sharding is f32
     only" gap).  Numerically equal to single-device
-    ``fit_high(solver='iterative')`` up to reduction order.  d=2.
+    ``fit_high(solver='iterative')`` up to reduction order.  d in
+    {2, 3} (2-D pencils, 3-D slabs — the d=3 hard-config family is the
+    memory magnet).
 
     Returns ``(FitState, beta_lo)`` like the single-device core.
     """
@@ -631,10 +673,10 @@ def msharded_fit_high(x, y, kernel, sigmasq, h, mtot: int, mesh: Mesh, *,
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
-    if x.shape[1] != 2:
-        raise NotImplementedError("msharded_fit_high requires d == 2")
+    if x.shape[1] not in (2, 3):
+        raise NotImplementedError("msharded_fit_high requires d in {2, 3}")
     h64 = float(h)
-    ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, 2)
+    ws_hi, ws_lo = ws_host_f64(kernel, h64, mtot, x.shape[1])
     h_hi, h_lo = split_f64_host(h64)
     sig_hi, sig_lo = split_f64_host(float(sigmasq))
 

@@ -394,3 +394,26 @@ def test_msharded_gradient_3d_matches_single():
     assert np.allclose(np.asarray(res.grad), np.asarray(ref.grad),
                        rtol=1e-6), (np.asarray(res.grad),
                                     np.asarray(ref.grad))
+
+
+def test_msharded_fit_high_3d_matches_single():
+    """d=3 M-sharded df64 fit (slab-decomposed df64 FFT) == the
+    single-device fit_high iterative branch."""
+    from gpquad.models.precision import fit_high
+    from gpquad.parallel import msharded_fit_high
+    rng = np.random.default_rng(15)
+    n, mtot, h, sigmasq = 1500, 9, 0.11, 0.05
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    kernel = SquaredExponential(lengthscale=jnp.float32(0.15),
+                                variance=jnp.float32(1.0), dimension=3)
+    ref = fit_high(x, y, kernel, sigmasq, h, mtot, solver="iterative")
+    mesh = make_mesh(8)
+    st, beta_lo = msharded_fit_high(x, y, kernel, sigmasq, h, mtot, mesh)
+    got = (np.asarray(jnp.real(st.beta), np.float64)
+           + np.asarray(jnp.real(beta_lo), np.float64))
+    want = (np.asarray(jnp.real(ref.state.beta), np.float64)
+            + np.asarray(jnp.real(ref.beta_lo), np.float64))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) < 1e-9 * max(scale, 1e-12), (
+        np.max(np.abs(got - want)), scale)
