@@ -94,6 +94,8 @@ def main():
     sync(mean)
     print(f"fit + mean (warm): {time.time() - t0:.3f} s, "
           f"CG iters {int(st.mean_cg_iters)}")
+    assert int(st.mean_cg_iters) < 2000, "mean CG hit its cap"
+    assert np.isfinite(np.asarray(mean)).all()
 
     # 3-4. short hyper loop, one jitted step per iteration
     params = HyperState.create(kernel, sigmasq)
@@ -135,6 +137,9 @@ def main():
     sync(var)
     print(f"stochastic variance (1000 targets): {time.time() - t0:.2f} s, "
           f"range [{float(jnp.min(var)):.2e}, {float(jnp.max(var)):.2e}]")
+    assert np.isfinite(np.asarray(var)).all()
+    assert np.isfinite(np.asarray(raw)).all()
+    print("PASS")
 
 
 if __name__ == "__main__":
