@@ -207,12 +207,13 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         hm = int(np.ceil(float(hm_real) - 1e-12))
         mtot = max(bucket_mtot(2 * hm + 1), int(min_mtot))
         mask = flat_grid_mask(mtot, d, hm, dtype=self._rdtype())
-        return kern, h, mtot, mask
+        return kern, h, mtot, mask, hm
 
     def _spectral(self, X, lengthscale, variance, min_mtot: int = 0):
         """Bucketed-grid spectral state for the current hypers."""
-        kern, h, mtot, mask = self._plan_grid(X, lengthscale, variance,
-                                              min_mtot=min_mtot)
+        kern, h, mtot, mask, hm = self._plan_grid(X, lengthscale, variance,
+                                                  min_mtot=min_mtot)
+        self._hm_ = hm       # active-node half-width; the df64 leg masks to it
         return core.build_pg_spectral_state(X, kern, h, mtot=mtot,
                                             ws_mask=mask)
 
@@ -295,6 +296,7 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         ores = None
         seen_rungs: set = set()
         prefetched_from: set = set()
+        self._prefetch_threads_: List = []
         rung_floor = 0         # grow-only rung hysteresis (see _plan_grid)
 
         def _prefetch_neighbors(cur_mtot, kern, h, kappa, pg_b, e_probes,
@@ -315,7 +317,10 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             The grow-only rung hysteresis (``_plan_grid(min_mtot=...)``)
             eliminates the common recompile source instead; prefetch
             remains an option for lengthscale-SHRINKING workloads on
-            hosts with idle cores."""
+            hosts with idle cores.  Threads are tracked on the estimator
+            and JOINED before fit() returns: abandoned device work from a
+            daemon thread outliving the fit contends with (and on the
+            remote-TPU runtime can wedge) subsequent dispatches."""
             import threading
             d = X_t.shape[1]
             for mt in bucket_neighbors(cur_mtot):
@@ -336,15 +341,17 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
                     except Exception:   # prefetch is best-effort only
                         pass
 
-                threading.Thread(target=work, daemon=True).start()
+                t = threading.Thread(target=work, daemon=True)
+                self._prefetch_threads_.append(t)
+                t.start()
 
         for outer in range(self.max_iter):
             likelihood = self._make_likelihood()
             kappa, pg_b = _kappa_pgb(likelihood)
             pos = np.exp(np.asarray(raw))
-            kern, h, mtot, mask = self._plan_grid(X_t, float(pos[0]),
-                                                  float(pos[1]),
-                                                  min_mtot=rung_floor)
+            kern, h, mtot, mask, _hm = self._plan_grid(X_t, float(pos[0]),
+                                                       float(pos[1]),
+                                                       min_mtot=rung_floor)
             rung_floor = max(rung_floor, mtot)
             if e_probes is None or not self.reuse_e_probes:
                 e_probes = self._rademacher(self._key(17 * (outer + 1)),
@@ -411,6 +418,12 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
             }
             entry.update(aux)
             history.append(entry)
+
+        # barrier: no prefetch device work may outlive fit() (see
+        # _prefetch_neighbors docstring)
+        for t in self._prefetch_threads_:
+            t.join()
+        self._prefetch_threads_ = []
 
         pos = np.exp(np.asarray(raw))
         self._lengthscale_v_ = float(pos[0])
@@ -566,7 +579,8 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         evaluation run in df64.
         """
         from .pg_high import pg_predict_high
-        check_is_fitted(self, ["beta_mean_", "delta_"])
+        check_is_fitted(self, ["beta_mean_", "delta_", "_kappa_t_",
+                               "_spectral_state_"])
         X_arr = check_array(X, ensure_2d=True, dtype=np.float64)
         sp = self._spectral_state_
         d = X_arr.shape[1]
@@ -574,7 +588,9 @@ class _BasePolyagammaGPEstimator(BaseEstimator):
         res = pg_predict_high(
             self._X_train_t_, kern, float(np.asarray(sp.h)), sp.mtot,
             self._delta_t_, self._kappa_t_,
-            jnp.asarray(X_arr, self._rdtype()), with_var=with_var, **kw)
+            jnp.asarray(X_arr, self._rdtype()),
+            hm=getattr(self, "_hm_", None),
+            with_var=with_var, **kw)
         mean = np.asarray(res.mean, np.float64)
         var = np.asarray(res.var, np.float64) if with_var else None
         return mean, var

@@ -64,15 +64,27 @@ class PGHighResult(NamedTuple):
     residual: jnp.ndarray      # last true df64 residual of the beta solve
 
 
-def _pg_host_tables(kernel, h64: float, mtot: int, d: int):
+def _pg_host_tables(kernel, h64: float, mtot: int, d: int,
+                    hm: int | None = None):
     """Host-f64 PG weight tables as (hi, lo) pairs: ``ws2 = S h^d``,
     ``Ds = sqrt(max(ws2, eps_d))`` (the same floor pg_core._feature_solver
-    applies in f32), ``Ds^{-1}``, and ``e = ws2 / Ds``."""
+    applies in f32), ``Ds^{-1}``, and ``e = ws2 / Ds``.
+
+    ``hm`` (when given) zeroes ws2 on surplus bucketed-grid nodes with any
+    ``|k| > hm`` BEFORE the floor — mirroring the masked f32 fit
+    (pg_core.build_pg_spectral_state ``ws_mask``), so the df64 leg solves
+    the exact system the f32 fit defined even when ``mtot > 2*hm+1``
+    (grow-only rung hysteresis)."""
     m = (mtot - 1) // 2
-    k1 = np.arange(-m, m + 1, dtype=np.float64) * h64
+    j1 = np.arange(-m, m + 1, dtype=np.int64)
+    k1 = j1.astype(np.float64) * h64
     grids = np.meshgrid(*([k1] * d), indexing="ij")
     xi = np.stack([g.ravel() for g in grids], axis=-1)
     ws2 = _spectral_density_np(kernel, xi) * h64 ** d
+    if hm is not None and hm < m:
+        jg = np.meshgrid(*([np.abs(j1)] * d), indexing="ij")
+        active = np.stack([g.ravel() for g in jg], axis=-1).max(-1) <= hm
+        ws2 = np.where(active, ws2, 0.0)
     eps_d = max(float(np.mean(ws2)) * 1e-14, 1e-14)
     Ds = np.sqrt(np.maximum(ws2, eps_d))
     return (split_f64_host(ws2), split_f64_host(Ds),
@@ -207,6 +219,7 @@ def _pg_high_core(x, x_new, delta, kappa, ws2_df, Ds_df, Dsinv_df, e_df,
 
 
 def pg_predict_high(x, kernel, h, mtot: int, delta, kappa, x_new, *,
+                    hm: int | None = None,
                     with_var: bool = True, slab: int = 128,
                     passes: int = 7, ir_tol: float = 1e-2,
                     ir_maxiter: int = 600, ir_rtol: float = 1e-11):
@@ -218,6 +231,8 @@ def pg_predict_high(x, kernel, h, mtot: int, delta, kappa, x_new, *,
     ``delta``/``kappa`` are the f32 posterior weights from the VI fit —
     the df64 leg solves the f32-defined system exactly, the same input
     convention the regression oracles use (bench.py accuracy notes).
+    Pass ``hm`` when ``mtot`` is a bucketed rung > ``2*hm+1`` so the host
+    tables zero the surplus nodes exactly as the masked f32 fit did.
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
@@ -227,7 +242,8 @@ def pg_predict_high(x, kernel, h, mtot: int, delta, kappa, x_new, *,
         x_new = x_new[:, None]
     d = x.shape[1]
     h64 = float(h)
-    ws2_df, Ds_df, Dsinv_df, e_df = _pg_host_tables(kernel, h64, mtot, d)
+    ws2_df, Ds_df, Dsinv_df, e_df = _pg_host_tables(kernel, h64, mtot, d,
+                                                    hm=hm)
     h_df = split_f64_host(h64)
     return _pg_high_core(
         x, x_new, jnp.asarray(delta), jnp.asarray(kappa),

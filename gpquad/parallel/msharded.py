@@ -142,7 +142,9 @@ def msharded_toeplitz_matvec(toeplitz: ToeplitzND, x, mesh: Mesh,
     ns = toeplitz.ns
     fshape = toeplitz.fft_shape
     k = mesh.shape[axis]
-    if any(s % k for s in fshape[1:]):
+    # axes actually sharded by the pencil transpose: d=2 shards P1
+    # and P2 (fshape itself); d=3 shards P2 and P3 (fshape[1:])
+    if any(s % k for s in (fshape if d == 2 else fshape[1:])):
         raise ValueError(
             f"fft_shape {toeplitz.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")
@@ -194,7 +196,9 @@ def make_msharded_toeplitz_apply(toeplitz: ToeplitzND, mesh: Mesh,
     ns = toeplitz.ns
     fshape = toeplitz.fft_shape
     k = mesh.shape[axis]
-    if any(s % k for s in fshape[1:]):
+    # axes actually sharded by the pencil transpose: d=2 shards P1
+    # and P2 (fshape itself); d=3 shards P2 and P3 (fshape[1:])
+    if any(s % k for s in (fshape if d == 2 else fshape[1:])):
         raise ValueError(
             f"fft_shape {toeplitz.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")
@@ -596,7 +600,9 @@ def make_msharded_toeplitz_df_apply(T_df, mesh: Mesh, axis: str = "dp"):
     ns = T_df.ns
     fshape = T_df.fft_shape
     k = mesh.shape[axis]
-    if any(s % k for s in fshape[1:]):
+    # axes actually sharded by the pencil transpose: d=2 shards P1
+    # and P2 (fshape itself); d=3 shards P2 and P3 (fshape[1:])
+    if any(s % k for s in (fshape if d == 2 else fshape[1:])):
         raise ValueError(
             f"fft_shape {T_df.fft_shape} not divisible by mesh axis "
             f"'{axis}' of size {k}")

@@ -142,7 +142,8 @@ def regular_var_f64(obj: Dict, x_new: np.ndarray) -> np.ndarray:
     return np.maximum(np.real(np.sum(Ft * (ws * Z), -1)), 0.0)
 
 
-def pg_f64_objects(x, delta, kernel, h, mtot: int) -> Dict:
+def pg_f64_objects(x, delta, kernel, h, mtot: int,
+                   hm: int = None) -> Dict:
     """Dense f64 PG feature system for a fixed posterior ``delta``
     (reference pg_classifier.py:418-504 algebra; the same symmetrized
     system models/pg_core.dense_feature_system materializes in f32):
@@ -163,6 +164,10 @@ def pg_f64_objects(x, delta, kernel, h, mtot: int) -> Dict:
     K = np.stack(np.meshgrid(*([k1] * d), indexing="ij"), -1).reshape(-1, d)
     xis = (float(h) * K).astype(np.float64)
     ws2 = _spectral_density_np(kernel, xis) * float(h) ** d
+    if hm is not None and hm < m:
+        # bucketed rung: surplus nodes carry exactly-zero weight, matching
+        # the masked f32 fit (pg_core.build_pg_spectral_state ws_mask)
+        ws2 = np.where(np.abs(K).max(-1) <= hm, ws2, 0.0)
     eps_d = max(float(np.mean(ws2)) * 1e-14, 1e-14)
     Ds = np.sqrt(np.maximum(ws2, eps_d))
     F = np.exp(2j * np.pi * (x @ xis.T))                    # (n, M)

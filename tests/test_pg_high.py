@@ -62,6 +62,44 @@ def test_pg_high_beta_mean_and_predictions_match_f64(rng):
     assert np.max(np.abs(var_df - var64) / var64) < 1e-5
 
 
+def test_pg_high_bucketed_grid_masks_surplus_nodes(rng):
+    """ADVICE r4 (medium): when mtot is a bucketed rung > 2*hm+1 the f32
+    fit zeroes the surplus nodes (flat_grid_mask), so the df64 leg must
+    solve the SAME masked system — ``hm`` threads the mask into the host
+    tables.  Certify against the masked f64 oracle, and check the
+    unmasked tables really do define a different system (the bug this
+    guards against was invisible to unmasked-only tests)."""
+    x, kern, h, mtot, delta, kappa = _problem(rng, n=350)
+    hm = (mtot - 1) // 2
+    mtot_b = 2 * (hm + 3) + 1          # bucketed rung: 3 surplus nodes/side
+    xt = rng.uniform(0.1, 0.9, size=(48, 2)).astype(np.float32)
+
+    res = pg_predict_high(x, kern, h, mtot_b, delta, kappa, xt, hm=hm)
+    obj = pg_f64_objects(x, delta, kern, h, mtot_b, hm=hm)
+    beta64 = pg_beta_mean_f64(obj, kappa)
+    mean64 = pg_mean_f64(obj, xt, beta64)
+    var64 = pg_var_f64(obj, xt)
+
+    mean_df = np.asarray(res.mean, np.float64)
+    assert np.max(np.abs(mean_df - mean64)) / np.max(np.abs(mean64)) < 1e-6
+    var_df = np.asarray(res.var, np.float64)
+    assert np.max(np.abs(var_df - var64)) / np.max(var64) < 1e-6
+
+    # the masked system equals the unbucketed (mtot = 2hm+1) system: the
+    # surplus nodes are an exact no-op
+    obj0 = pg_f64_objects(x, delta, kern, h, mtot)
+    beta0 = pg_beta_mean_f64(obj0, kappa)
+    mean0 = pg_mean_f64(obj0, xt, beta0)
+    assert np.max(np.abs(mean0 - mean64)) / np.max(np.abs(mean0)) < 1e-12
+
+    # and the UNMASKED bucketed tables define a measurably different
+    # system (this is what the unfixed code solved)
+    obj_bad = pg_f64_objects(x, delta, kern, h, mtot_b)
+    beta_bad = pg_beta_mean_f64(obj_bad, kappa)
+    mean_bad = pg_mean_f64(obj_bad, xt, beta_bad)
+    assert np.max(np.abs(mean_bad - mean64)) / np.max(np.abs(mean64)) > 1e-9
+
+
 def test_pg_f32_core_agrees_with_f64_oracle_conventions(rng):
     """Sanity: the f32 production path lands at its expected ~1e-3 class
     against the SAME oracle (catches any sign/convention drift between
