@@ -23,12 +23,22 @@ import numpy as np
 
 
 def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
-                            chunk=10_000, tol=1e-12, maxiter=4000):
+                            chunk=10_000, tol=1e-12, maxiter=4000,
+                            var_targets=None):
     """Host f64 oracle for grids where the dense F/A no longer fit
-    (d = 2 or 3): Toeplitz lag table by chunked phase matmuls, Jacobi-CG
+    (d = 2 or 3): Toeplitz lag table by chunked phase matmuls, PCG
     with FFT matvec to ``tol``, chunked mean evaluation at the targets
     (same algebra the device solves; cf. reference
-    verify_efgpnd_exact_small.py:19-24)."""
+    verify_efgpnd_exact_small.py:19-24).  The CG is preconditioned with
+    an f64 Kronecker eigen-preconditioner built from the same lag table
+    (ops/kron_precond.py math, independently re-derived here in numpy) —
+    the preconditioner cannot change the solution, only the iteration
+    count, and convergence is still certified by the true residual.
+
+    ``var_targets`` (optional, (B, d)): also solve the exact per-target
+    posterior-variance systems ``A z = ws conj(f_x)`` and return
+    ``sigma^2 f_x ws z`` as a third output (reference 'regular' variance,
+    efgpnd.py:1805-1820, in f64)."""
     try:        # multi-threaded FFTs: the scale config's CG runs ~1e3
         import os                           # iterations on a 1024^2 grid
         from scipy import fft as _sfft
@@ -100,34 +110,84 @@ def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
     def A(z):
         return ws * toeplitz(ws * z) + sigmasq * z
 
-    b = ws * rhs_g.reshape(-1)
-    diag = n * ws ** 2 + sigmasq
-    xk = np.zeros(M, complex)
-    r = b.copy()
-    z = r / diag
-    p = z.copy()
-    rz = np.vdot(r, z).real
-    bn = np.linalg.norm(b)
-    iters = 0
-    for it in range(maxiter):
-        Ap = A(p)
-        alpha = rz / np.vdot(p, Ap).real
-        xk += alpha * p
-        r -= alpha * Ap
-        if np.linalg.norm(r) / bn < tol:
+    # f64 Kronecker eigen-preconditioner (exact eigh on host)
+    Wg = ws.reshape((mtot,) * d)
+    if d == 2:
+        u = np.ones(mtot)
+        for _ in range(60):
+            vv = Wg.T @ u
+            vv /= np.linalg.norm(vv)
+            u = Wg @ vv
+            s_pw = np.linalg.norm(u)
+            u /= s_pw
+        gs = [u * np.sqrt(s_pw), vv * np.sqrt(s_pw)]
+    else:
+        gs = None                         # d=3: keep Jacobi (rarely hit)
+    if gs is not None:
+        j = np.arange(mtot)
+        lagm = j[:, None] - j[None, :] + (2 * m)
+        Us, lams = [], []
+        for ax in range(d):
+            sl = tuple(slice(None) if a == ax else 2 * m for a in range(d))
+            Ti = v[sl][lagm]
+            Mi = gs[ax][:, None] * Ti * gs[ax][None, :]
+            lam_i, U_i = np.linalg.eigh(0.5 * (Mi + Mi.conj().T))
+            lams.append(np.maximum(lam_i.real, 0.0))
+            Us.append(U_i)
+        den = (lams[0][:, None] * lams[1][None, :] / n + sigmasq)
+
+        def M_inv(r):
+            X = r.reshape((-1, mtot, mtot))
+            Y = np.einsum('ab,nbc,cd->nad', Us[0].conj().T, X, Us[1].conj())
+            Y = Y / den[None]
+            Z = np.einsum('ab,nbc,cd->nad', Us[0], Y, Us[1].T)
+            return Z.reshape(r.shape)
+    else:
+        diag = n * ws ** 2 + sigmasq
+
+        def M_inv(r):
+            return r / diag
+
+    def pcg_host(B_rhs):
+        """Batched host PCG on (L_lanes, M) right-hand sides."""
+        B_rhs = np.atleast_2d(B_rhs)
+        xk = np.zeros_like(B_rhs)
+        r = B_rhs.copy()
+        z = M_inv(r)
+        p = z.copy()
+        rz = np.einsum('ij,ij->i', r.conj(), z).real
+        bn = np.linalg.norm(B_rhs, axis=1)
+        iters = 0
+        for it in range(maxiter):
+            Ap = np.stack([A(pp) for pp in p])
+            pAp = np.einsum('ij,ij->i', p.conj(), Ap).real
+            alpha = np.where(pAp != 0, rz / np.where(pAp == 0, 1, pAp), 0)
+            xk += alpha[:, None] * p
+            r -= alpha[:, None] * Ap
             iters = it + 1
-            break
-        z = r / diag
-        rz_new = np.vdot(r, z).real
-        p = z + (rz_new / rz) * p
-        rz = rz_new
-        iters = it + 1
-    beta = xk
+            if (np.linalg.norm(r, axis=1) / bn < tol).all():
+                break
+            z = M_inv(r)
+            rz_new = np.einsum('ij,ij->i', r.conj(), z).real
+            beta_f = np.where(rz != 0, rz_new / np.where(rz == 0, 1, rz), 0)
+            p = z + beta_f[:, None] * p
+            rz = rz_new
+        return xk, iters
+
+    beta, iters = pcg_host(ws * rhs_g.reshape(-1))
+    beta = beta[0]
     means = []
     for lo in range(0, xt64.shape[0], 500):
         Ft = np.exp(2j * np.pi * (xt64[lo:lo + 500] @ xis.T))
         means.append(np.real(Ft @ (ws * beta)))
-    return np.concatenate(means), iters
+    mean_out = np.concatenate(means)
+    if var_targets is None:
+        return mean_out, iters
+    Fv = np.exp(2j * np.pi * (np.asarray(var_targets, np.float64) @ xis.T))
+    zs, vit = pcg_host(ws[None, :] * Fv.conj())
+    var_out = np.maximum(
+        sigmasq * np.einsum('bj,bj->b', Fv * ws[None, :], zs).real, 0.0)
+    return mean_out, iters, var_out
 
 
 def hard_config(args, rng):
@@ -415,7 +475,7 @@ def scale_config(args, rng):
     mtot = int(mtot)
     rank = args.hard_precond_rank
     out = {"scale_n": n, "scale_lengthscale": ell, "scale_mtot": mtot,
-           "scale_M": mtot ** d, "scale_precond_rank": rank}
+           "scale_M": mtot ** d, "scale_precond": "kron"}
 
     @jax.jit
     def _reduce(arrays):
@@ -426,11 +486,15 @@ def scale_config(args, rng):
 
     caps = plan_nufft_caps(x, float(h), mtot)
 
+    # kron + smooth-FFT (round 5): the Kronecker eigen-preconditioner
+    # (ops/kron_precond.py) took the mean solve 306 -> 14 iterations and
+    # the probe solves 503 -> ~9 on this config; 2,3,5,7-smooth FFT
+    # padding (700^2 vs 1024^2) is another 1.41x per matvec on v5e
     def fit_mean():
         st = fit_with_grid(x, y, kernel, jnp.float32(sigmasq), h, mtot,
                            cg_tol=1e-6, max_cg_iter=2000, solver="cg",
-                           precond_rank=rank, nufft_method="banded",
-                           nufft_caps=caps)
+                           precond="kron", fft_smooth=True,
+                           nufft_method="banded", nufft_caps=caps)
         return st, predict_mean(st, xnew)
 
     t0 = time.time()
@@ -447,23 +511,38 @@ def scale_config(args, rng):
     key = jax.random.PRNGKey(11)
 
     def var():
-        # cg_tol 1e-3: the 64-probe Hutchinson floor is ~12%, so the
-        # 1e-4 solve (664 deflated iters at this conditioning) buys
-        # nothing the estimator can see; 1e-3 is statistically free
+        # cg_tol 1e-4 is essentially free under kron (~12 iters); the
+        # estimator error is the probe-count MC floor (~1/sqrt(J))
         return predict_var(st, xnew[:1000], method="stochastic", key=key,
-                           probes=args.scale_probes, cg_tol=1e-3,
+                           probes=args.scale_probes, cg_tol=1e-4,
                            max_cg_iter=1000)
     v = var(); sync(v)
     t0 = time.time(); v = var(); sync(v)
     out["scale_var_s"] = round(time.time() - t0, 4)
     out["scale_var_probes"] = args.scale_probes
 
+    # exact per-target f32 variance at 256 targets (regular path, now
+    # cheap under kron) — the stochastic estimator's committed error
+    # bound is measured against it below, and it is itself anchored to
+    # the host f64 oracle at 8 targets
+    def var_exact():
+        return predict_var(st, xnew[:256], method="regular", cg_tol=1e-6,
+                           max_cg_iter=2000)
+    ve = var_exact(); sync(ve)
+    t0 = time.time(); ve = var_exact(); sync(ve)
+    out["scale_var_exact256_s"] = round(time.time() - t0, 4)
+    ve_h = np.asarray(ve, np.float64)
+    vs_h = np.asarray(v[:256], np.float64)
+    out["scale_rel_err_var_stoch_vs_exact"] = round(
+        float(np.max(np.abs(vs_h - ve_h)) / np.max(ve_h)), 6)
+
     def grad():
         return gradient_with_grid(x, y, kernel, jnp.float32(sigmasq), h,
                                   key, mtot=mtot,
                                   trace_samples=args.trace_samples,
                                   cg_tol=1e-4, max_cg_iter=1000,
-                                  solver="cg", precond_rank=rank,
+                                  solver="cg", precond="kron",
+                                  fft_smooth=True,
                                   nufft_method="banded", nufft_caps=caps)
     g = grad(); sync(g.grad)
     t0 = time.time(); g = grad(); sync(g.grad)
@@ -486,8 +565,8 @@ def scale_config(args, rng):
         res = gradient_with_grid(x, y, kern, p.sig2, h, key, mtot=mtot,
                                  trace_samples=5, cg_tol=1e-3,
                                  max_cg_iter=500, solver="cg",
-                                 precond_rank=rank, nufft_method="banded",
-                                 nufft_caps=caps)
+                                 precond="kron", fft_smooth=True,
+                                 nufft_method="banded", nufft_caps=caps)
         grad_raw = res.grad * jnp.exp(raw)
         updates, opt_state = tx.update(grad_raw, opt_state, raw)
         return optax.apply_updates(raw, updates), opt_state
@@ -524,17 +603,24 @@ def scale_config(args, rng):
     out["scale_high_fit_mean_s"] = round(time.time() - t0, 4)
 
     if not args.skip_accuracy:
-        mean64, oracle_iters = _toeplitz_cg_oracle_f64(
+        mean64, oracle_iters, var64 = _toeplitz_cg_oracle_f64(
             np.asarray(x, np.float64), np.asarray(y, np.float64), ell,
             1.0, sigmasq, float(h), mtot,
             np.asarray(xnew[:500], np.float64), chunk=10_000,
-            tol=args.scale_oracle_tol, maxiter=args.scale_oracle_maxiter)
+            tol=args.scale_oracle_tol, maxiter=args.scale_oracle_maxiter,
+            var_targets=np.asarray(xnew[:8], np.float64))
         m32 = np.asarray(mean[:500], np.float64)
         out["scale_max_err_mean_vs_f64"] = round(
             float(np.max(np.abs(m32 - mean64))), 8)
         out["scale_max_err_mean_high_vs_f64"] = round(
             float(np.max(np.abs(np.asarray(mh, np.float64) - mean64))), 9)
         out["scale_oracle_cg_iters"] = oracle_iters
+        # anchor the f32 exact-variance path (and hence the stochastic
+        # error bound above) to the host f64 oracle
+        out["scale_rel_err_var_exact_vs_f64"] = round(
+            float(np.max(np.abs(ve_h[:8] - var64)) / np.max(var64)), 8)
+        out["scale_rel_err_var_stoch_vs_f64"] = round(
+            float(np.max(np.abs(vs_h[:8] - var64)) / np.max(var64)), 6)
     return out
 
 
@@ -609,10 +695,17 @@ def matern_config(args, rng):
     Vp = (rng.integers(0, 2, (T, mtot ** d)) * 2 - 1).astype(np.float32)
     key = jax.random.PRNGKey(5)
 
+    # cg_tol 1e-6: round-5 root-cause of the 1.08e-2 f32 gradient error
+    # (BENCH_r04) — it was SOLVE error, not f32 cancellation.  Matérn's
+    # polynomial spectral tail amplifies the lengthscale-trace residual
+    # ~100x harder than SE's, so 1e-4 solves leave 1e-2 in the gradient
+    # while 1e-6 lands ~1e-4 (measured: rel 1.2e-2 -> 9.4e-5 on this
+    # config).  Deflation-2048 makes the deeper solve nearly free here
+    # (24 mean iterations at M=8649).
     def g32():
         return gradient_with_grid(x, y, kernel, jnp.float32(sigmasq), h,
                                   key, mtot=mtot, trace_samples=T,
-                                  cg_tol=1e-4, max_cg_iter=1000,
+                                  cg_tol=1e-6, max_cg_iter=2000,
                                   solver="cg", precond_rank=rank,
                                   probes=(jnp.asarray(Zp),
                                           jnp.asarray(Vp)))
@@ -691,7 +784,7 @@ def main():
     ap.add_argument("--scale-lengthscale", type=float, default=0.006,
                     help="Scale-config lengthscale (0.006 -> mtot=339, "
                          "M=114921, forced matrix-free)")
-    ap.add_argument("--scale-probes", type=int, default=64)
+    ap.add_argument("--scale-probes", type=int, default=256)
     ap.add_argument("--scale-oracle-tol", type=float, default=1e-10,
                     help="Tight enough to certify the df64 mean "
                          "(measured 5.6e-8 at n=1e6)")
@@ -1024,9 +1117,13 @@ def emit(out_json):
         "hard3d_max_err_mean_vs_f64": "hard3d_err_high",
         "scale_n": "scale_n",
         "scale_fit_s": "scale_fit_s",
+        "scale_var_s": "scale_var_s",
+        "scale_var_probes": "scale_var_probes",
         "scale_total_s": "scale_total_s",
         "scale_max_err_mean_vs_f64": "scale_err_mean",
         "scale_max_err_mean_high_vs_f64": "scale_err_high",
+        "scale_rel_err_var_stoch_vs_exact": "scale_err_var",
+        "scale_rel_err_var_exact_vs_f64": "scale_err_var_exact",
         "matern_fit_s": "matern_fit_s",
         "matern_max_rel_err_grad_high": "matern_rel_err_grad",
     }

