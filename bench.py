@@ -137,10 +137,12 @@ def _toeplitz_cg_oracle_f64(x64, y64, ell, var, sigmasq, h, mtot, xt64,
         den = (lams[0][:, None] * lams[1][None, :] / n + sigmasq)
 
         def M_inv(r):
+            # broadcast matmuls, NOT 3-operand np.einsum: un-optimized
+            # einsum lowers to scalar loops (~30 s/apply at mtot=339)
             X = r.reshape((-1, mtot, mtot))
-            Y = np.einsum('ab,nbc,cd->nad', Us[0].conj().T, X, Us[1].conj())
+            Y = (Us[0].conj().T @ X) @ Us[1].conj()
             Y = Y / den[None]
-            Z = np.einsum('ab,nbc,cd->nad', Us[0], Y, Us[1].T)
+            Z = (Us[0] @ Y) @ Us[1].T
             return Z.reshape(r.shape)
     else:
         diag = n * ws ** 2 + sigmasq

@@ -34,7 +34,7 @@ from ..ops.dense_solve import (DENSE_SOLVER_MAX_M, dense_inverse,
                                dense_toeplitz, refine_solve)
 from ..ops.nufft import NUFFT, make_nufft
 from ..ops.operators import convolution_vector
-from ..ops.toeplitz import ToeplitzND, make_toeplitz
+from ..ops.toeplitz import ToeplitzND, make_toeplitz, toeplitz_diag_scale
 from .efgp import _cdtype, tensor_grid
 
 __all__ = [
@@ -187,6 +187,23 @@ def weighted_toeplitz(spectral: PGSpectralState, x, delta) -> ToeplitzND:
 # solvers
 # ---------------------------------------------------------------------------
 
+def _wtoe_kron_precond(Ds, wtoe: ToeplitzND, mtot: int, d: int):
+    """Kronecker eigen-preconditioner for the symmetrized PG system
+    ``I + Ds T_w Ds`` (ops/kron_precond.py math with unit identity
+    coefficient): ``T_w = F* diag(delta) F`` concentrates on the product
+    of its 1-D marginal weighted Grams over sum(delta)^{d-1}, and the
+    marginal lag tables are axis slices of the weighted lag table — the
+    same separability the EFGP solves exploit, with delta playing the
+    role of the point measure.  The lag table is recovered from the
+    cached kernel spectrum (two small FFTs)."""
+    from ..ops.kron_precond import kron_eig_build, make_kron_precond
+    Ls = tuple(2 * n - 1 for n in wtoe.ns)
+    v = jnp.fft.ifftn(wtoe.fft_kernel)[tuple(slice(0, l) for l in Ls)]
+    kp = kron_eig_build(Ds, v, 1.0, mtot=mtot, d=d,
+                        diag_scale=toeplitz_diag_scale(v))
+    return make_kron_precond(kp)
+
+
 def _feature_solver(spectral: PGSpectralState, wtoe: ToeplitzND, *,
                     cg_tol: float, max_cg_iter: int = 2000):
     """Symmetrized solver for ``A = I + Ds F* Omega F Ds`` with
@@ -201,13 +218,15 @@ def _feature_solver(spectral: PGSpectralState, wtoe: ToeplitzND, *,
     eps_d = jnp.maximum(jnp.mean(D2) * 1e-14, 1e-14)
     Ds = jnp.sqrt(jnp.maximum(D2, eps_d)).astype(spectral.ws.dtype)
     Ds_inv = 1.0 / Ds
+    M_inv = _wtoe_kron_precond(Ds, wtoe, spectral.mtot, spectral.d)
 
     def apply_IpS(Y):
         return Y + Ds * wtoe(Ds * Y)
 
     def solve(q):
         rhs = Ds * q.astype(Ds.dtype)
-        res = pcg(apply_IpS, rhs, tol=cg_tol, maxiter=max_cg_iter)
+        res = pcg(apply_IpS, rhs, tol=cg_tol, maxiter=max_cg_iter,
+                  M_inv=M_inv)
         beta = Ds_inv * res.x
         return beta, res.iters
 
@@ -266,7 +285,10 @@ def estep_pass(spectral: PGSpectralState, wtoe_builder_x, delta0, kappa,
         def A_feat(u):
             return u + spectral.ws * wtoe(spectral.ws * u)
 
-        res = pcg(A_feat, rhs, tol=cg_tol, maxiter=max_cg_iter)
+        M_inv = _wtoe_kron_precond(spectral.ws, wtoe, spectral.mtot,
+                                   spectral.d)
+        res = pcg(A_feat, rhs, tol=cg_tol, maxiter=max_cg_iter,
+                  M_inv=M_inv)
         S_all = spectral.nufft.type2(spectral.ws[None, :] * res.x).real
         mean = S_all[0]
         Sz = S_all[1:]
