@@ -171,7 +171,7 @@ def pallas_interp_T_2d(us, i0loc, c0, w_row, w_col, *, G2: int,
 
 
 def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
-                   tw: int):
+                   tw: int, stacked: bool = False):
     """Forward ``W v`` for one (band, batch-tile, point-chunk, col-tile)
     step; accumulates partial column-tile contributions over the
     innermost col-tile grid dimension."""
@@ -194,24 +194,34 @@ def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
         Wc = Wc + wc_ref[0, j, :][:, None].astype(dt) * (
             ciota == (c0 + j)[:, None]).astype(dt)
 
-    # Flip the contraction onto the wide axis (round-5, VERDICT r4 #6):
-    # out[b, p] = sum_r At[r, p] * (vs[b] @ Wc^T)[r, p].  The matmul
-    # contracts tw=512 (full MXU depth) with the batch tile STACKED along
-    # the output rows — one (bb*rows, tw) x (tw, cc) dot per step instead
-    # of bb dots whose contraction depth was only rows~bh+3 (~32).  The
-    # stacking is a sublane concat (minor dim untouched — the earlier
-    # rejected variant reshaped the minor dim); the remaining r-reduction
-    # is a cheap VPU broadcast-multiply per lane.
+    # Two contraction layouts (round-5, VERDICT r4 #6):
+    # stacked=True flips the contraction onto the wide axis —
+    # out[b, p] = sum_r At[r, p] * (vs[b] @ Wc^T)[r, p] — one
+    # (bb*rows, tw) x (tw, cc) dot per step (full tw=512 MXU depth, batch
+    # tile stacked along sublanes) instead of bb dots whose contraction
+    # depth is only rows~bh+3; the r-reduction is a cheap VPU
+    # broadcast-multiply per lane.  The classic layout contracts rows on
+    # the MXU per lane: (rows, cc) x (rows, tw) -> (cc, tw).
     bb = vs_ref.shape[1]
-    rows_l = [vs_ref[0, b].astype(dt) for b in range(bb)]
-    stacked = rows_l[0] if bb == 1 else jnp.concatenate(rows_l, axis=0)
-    P = jax.lax.dot_general(
-        stacked, Wc,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
-    vals = jnp.stack(
-        [jnp.sum(P[b * rows:(b + 1) * rows] * At, axis=0)
-         for b in range(bb)], axis=0)[None]
+    if stacked:
+        rows_l = [vs_ref[0, b].astype(dt) for b in range(bb)]
+        stk = rows_l[0] if bb == 1 else jnp.concatenate(rows_l, axis=0)
+        P = jax.lax.dot_general(
+            stk, Wc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        vals = jnp.stack(
+            [jnp.sum(P[b * rows:(b + 1) * rows] * At, axis=0)
+             for b in range(bb)], axis=0)[None]
+    else:
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST)
+        vals = jnp.stack(
+            [jnp.sum(dot(At, vs_ref[0, b].astype(dt)) * Wc, axis=1)
+             for b in range(bb)], axis=0)[None]
 
     @pl.when(pl.program_id(3) == 0)
     def _():
@@ -222,9 +232,10 @@ def _interp_kernel(i0_ref, c0_ref, wr_ref, wc_ref, vs_ref, out_ref, *,
         out_ref[...] += vals
 
 
-@functools.partial(jax.jit, static_argnames=("bh", "cc", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bh", "cc", "interpret", "stacked"))
 def pallas_interp_2d(vs, i0loc, c0, w_row, w_col, *, bh: int, cc: int = 512,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, stacked: bool = False):
     """Band-sorted point values of ``W v`` for d=2 cubic interpolation.
 
     The XLA forward path is an (n, 16) gather + weighted sum —
@@ -270,7 +281,7 @@ def pallas_interp_2d(vs, i0loc, c0, w_row, w_col, *, bh: int, cc: int = 512,
                               (0, g2_pad - G2)])
 
     out = pl.pallas_call(
-        functools.partial(_interp_kernel, tw=tw),
+        functools.partial(_interp_kernel, tw=tw, stacked=stacked),
         grid=(nbands, nbt, ncc, nct),
         in_specs=[
             pl.BlockSpec((1, 1, cc), lambda b, bt, c, t: (b, 0, c),

@@ -380,3 +380,23 @@ def test_interp_pallas_batch_tiled(rng):
                                                        np.max(np.abs(ref)))
         assert np.max(np.abs(got_f - ref_f)) < 1e-10 * max(
             1.0, np.max(np.abs(ref_f)))
+
+
+def test_interp_forward_stacked_matches_classic(rng):
+    """The stacked forward-kernel layout (one (bb*rows, tw) x (tw, cc)
+    MXU dot per step, VERDICT r4 #6) computes the same values as the
+    per-lane classic layout (interpret mode; the chip run is gated on
+    real-hardware validation — CLAUDE.md Mosaic rules)."""
+    import jax.numpy as jnp
+    from gpquad.ops import pallas_interp as pi
+    G2, bh, nbands, cap, B = 256, 13, 8, 512, 5
+    vs = jnp.asarray(rng.normal(size=(B, nbands, bh + 3, G2)), jnp.float32)
+    i0 = jnp.asarray(rng.integers(0, bh, (nbands, cap)), jnp.int32)
+    c0 = jnp.asarray(rng.integers(0, G2 - 4, (nbands, cap)), jnp.int32)
+    wr = jnp.asarray(rng.normal(size=(nbands, cap, 4)), jnp.float32)
+    wc = jnp.asarray(rng.normal(size=(nbands, cap, 4)), jnp.float32)
+    a = pi.pallas_interp_2d(vs, i0, c0, wr, wc, bh=bh, interpret=True,
+                            stacked=False)
+    b = pi.pallas_interp_2d(vs, i0, c0, wr, wc, bh=bh, interpret=True,
+                            stacked=True)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
