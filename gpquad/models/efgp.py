@@ -90,20 +90,31 @@ jax.tree_util.register_dataclass(
 
 
 def resolve_precond(precond: str, precond_rank: int, use_precond: bool,
-                    d: int) -> str:
+                    d: int, n: Optional[int] = None,
+                    M: Optional[int] = None) -> str:
     """Preconditioner family for the CG branch.  'auto' keeps the
     historical selection (deflation when ``precond_rank > 0``, Jacobi
     otherwise); 'kron' is the Kronecker eigen-preconditioner
     (ops/kron_precond.py) — the strongest option for d <= 3 separable
-    densities and the default the facade/bench paths pass explicitly."""
+    densities when the data are dense relative to the grid; 'adaptive'
+    picks kron when ``n >= M`` and deflation otherwise (kron's separable
+    concentration argument needs the per-mode fluctuation ~sqrt(n) to be
+    small against the n-scaled mean — at n < M the fluctuation term
+    dominates and the dense-head deflation tier wins; both regimes
+    measured, docs/DESIGN.md round-5 notes)."""
     if precond == "auto":
         return "deflation" if precond_rank > 0 else (
             "jacobi" if use_precond else "none")
+    if precond == "adaptive":
+        if d > 3 or (n is not None and M is not None and n < M):
+            return "deflation"
+        return "kron"
     if precond == "kron" and d > 3:
         return "jacobi"
     if precond not in ("jacobi", "deflation", "kron", "none"):
         raise ValueError(f"Unknown precond '{precond}' "
-                         "(auto | jacobi | deflation | kron | none)")
+                         "(auto | adaptive | jacobi | deflation | kron | "
+                         "none)")
     return precond
 
 
@@ -237,14 +248,16 @@ def _fit_with_grid_jit(x, y, kernel, sigmasq, h, beta0, ws_mask, *,
     else:
         A_mean = make_A_mean(ws, toeplitz, sigmasq)
         M_inv = None
-        family = resolve_precond(precond, precond_rank, use_precond, d)
+        family = resolve_precond(precond, precond_rank, use_precond, d,
+                                 n=n, M=mtot ** d)
         if family == "kron":
             kron = kron_eig_build(ws, v, sigmasq, mtot=mtot, d=d,
                                   diag_scale=toeplitz_diag_scale(v))
             M_inv = make_kron_precond(kron)
         elif family == "deflation":
-            defl_idx, defl_P = deflation_block(ws, v, sigmasq, mtot=mtot,
-                                               d=d, rank=precond_rank)
+            defl_idx, defl_P = deflation_block(
+                ws, v, sigmasq, mtot=mtot, d=d,
+                rank=precond_rank if precond_rank > 0 else 2048)
             jac = (toeplitz_diag_scale(v) * jnp.abs(ws) ** 2 + sigmasq)
             M_inv = make_block_precond(defl_idx, defl_P, jac)
         elif family == "jacobi":

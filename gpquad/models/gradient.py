@@ -181,7 +181,8 @@ def gradient_with_grid(
         else:
             from .efgp import resolve_precond
             A_mean = make_A_mean(ws, toeplitz, sigmasq_eff)
-            family = resolve_precond(precond, precond_rank, True, d)
+            family = resolve_precond(precond, precond_rank, True, d,
+                                     n=n, M=M)
             if family == "kron":
                 from ..ops.kron_precond import (kron_eig_build,
                                                 make_kron_precond)
@@ -193,7 +194,8 @@ def gradient_with_grid(
                                              make_block_precond)
                 didx, dP = deflation_block(ws, v_kernel, sigmasq_eff,
                                            mtot=mtot, d=d,
-                                           rank=precond_rank)
+                                           rank=precond_rank
+                                           if precond_rank > 0 else 2048)
                 M_inv_op = make_block_precond(
                     didx, dP, diag_scale * jnp.abs(ws) ** 2 + sigmasq_eff)
             else:

@@ -94,6 +94,30 @@ def _separable_factors(W: jnp.ndarray, d: int, iters: int = 40):
     return gs
 
 
+def _centro_unitary(m: int, cdtype) -> jnp.ndarray:
+    """The sparse unitary that carries centro-Hermitian matrices to real
+    ones (Cantoni & Butler 1976): columns are the symmetric combinations
+    ``(e_j + e_{m-1-j})/sqrt(2)``, the center ``e_p``, and the
+    antisymmetric ``i (e_j - e_{m-1-j})/sqrt(2)``.
+
+    The kron factors ``M_i = g T_i g`` are Hermitian AND centro-Hermitian
+    (``J M J = conj(M)``: the lag table satisfies ``t(-l) = conj(t(l))``
+    and the weights are symmetric in k), so ``U^H M U`` is REAL symmetric
+    — and the real f32 eigh is 10-16x faster than the complex QDWH path
+    on the TPU (measured warm 0.03-0.05 s vs a flat ~0.5 s at
+    mtot=107..339; compile ~1-6 s vs up to minutes)."""
+    p = (m - 1) // 2
+    rt = 0.7071067811865476
+    j = jnp.arange(p)
+    U = jnp.zeros((m, m), cdtype)
+    U = U.at[j, j].set(rt)
+    U = U.at[m - 1 - j, j].set(rt)
+    U = U.at[p, p].set(1.0)
+    U = U.at[j, p + 1 + j].set(1j * rt)
+    U = U.at[m - 1 - j, p + 1 + j].set(-1j * rt)
+    return U
+
+
 def _marginal_toeplitz(v: jnp.ndarray, axis: int, mtot: int, d: int):
     """(mtot, mtot) Hermitian Toeplitz matrix of the 1-D marginal Gram
     along ``axis``: lag table = the zero-lag slice of ``v`` on every
@@ -116,14 +140,23 @@ def kron_eig_build(ws: jnp.ndarray, v: jnp.ndarray, sigmasq, *, mtot: int,
     W = jnp.abs(ws).reshape((mtot,) * d).astype(rdtype)
     gs = _separable_factors(W, d)
     lams, Us = [], []
+    Uc = None
     for i in range(d):
         Ti = _marginal_toeplitz(v, i, mtot, d)
         gi = gs[i].astype(Ti.dtype)
         Mi = gi[:, None] * Ti * jnp.conj(gi)[None, :]
         Mi = 0.5 * (Mi + Mi.conj().T)
-        lam, U = jnp.linalg.eigh(Mi)
+        # real-symmetric route (see _centro_unitary): K = U^H M U is real
+        # for the centro-Hermitian M_i; any asymmetry lost to Re() only
+        # perturbs the PRECONDITIONER (V stays unitary, P stays HPD)
+        if Uc is None:
+            Uc = _centro_unitary(mtot, Mi.dtype)
+        K = jnp.real(jnp.matmul(Uc.conj().T,
+                                jnp.matmul(Mi, Uc, precision=_HI),
+                                precision=_HI))
+        lam, W = jnp.linalg.eigh(0.5 * (K + K.T))
         lams.append(jnp.maximum(jnp.real(lam), 0.0).astype(rdtype))
-        Us.append(U)
+        Us.append(jnp.matmul(Uc, W.astype(Uc.dtype), precision=_HI))
     prod = lams[0]
     for lam in lams[1:]:
         prod = prod[..., :, None] * lam

@@ -146,8 +146,12 @@ def main():
     caps = plan_nufft_caps(x, float(h), mtot)
 
     def fit(kern, s2):
+        # cg_tol 1e-5: at n~1e6 gridded points the f32 relative-residual
+        # floor sits near 1e-6 — asking for 1e-6 burned the full 2000-
+        # iteration cap for nothing the posterior can see (measured:
+        # identical RMSE, fit 11.1 s -> ~1 s class)
         return fit_with_grid(x, y, kern, jnp.float32(s2), h, mtot,
-                             cg_tol=1e-6, max_cg_iter=2000, solver="cg",
+                             cg_tol=1e-5, max_cg_iter=2000, solver="cg",
                              precond="kron", fft_smooth=True,
                              nufft_method="banded", nufft_caps=caps)
 
@@ -171,7 +175,7 @@ def main():
 
     def var():
         return predict_var(st, xv[:1000], method="stochastic", key=key,
-                           probes=args.probes, cg_tol=1e-4,
+                           probes=args.probes, cg_tol=1e-3,
                            max_cg_iter=1000)
     v = var(); sync(v)
     t0 = time.time(); v = var(); sync(v)

@@ -11,8 +11,10 @@ discipline (oisst_experiment/diagnostics/oisst_probe_reuse_summary.json)
 and the TPU perf story on the same problem.
 
 Round-5 changes (VERDICT r4 #2):
-  * the solves run under the Kronecker eigen-preconditioner
-    (``opts={"precond": "kron"}``, ops/kron_precond.py) — these small-
+  * the solves run under the adaptive preconditioner policy
+    (``opts={"precond": "adaptive"}``: Kronecker eigen-preconditioner
+    when the data are dense relative to the grid, dense-head deflation
+    when n < M — ops/kron_precond.py, ops/deflation.py); these small-
     lengthscale real rasters are exactly the regimes where Jacobi burned
     hundreds of CG iterations per Adam step;
   * COLD is now honest: measured in a fresh subprocess with a fresh
@@ -44,7 +46,8 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
 
-OPTS = {"cg_tolerance": 1e-6, "max_cg_iterations": 500, "precond": "kron"}
+OPTS = {"cg_tolerance": 1e-6, "max_cg_iterations": 500,
+        "precond": "adaptive"}
 
 
 def _loader(name):
