@@ -414,13 +414,26 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
     res = _solve_var(state, rhs, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
     gammas = state.ws[None, :] * res.x
 
+    # cross-correlate on a 2,3,5,7-smooth grid >= 2*mtot-1 and extract
+    # the +-(mtot-1) lags: 2*mtot-1 is odd by construction and often has
+    # large prime factors (677 prime at the scale config, 321 = 3*107 at
+    # ERA5 rungs), which sends the TPU FFT down the slow non-smooth
+    # path; lags within the support are exact for ANY fft size >= 2m-1
+    from ..ops.toeplitz import _next_smooth
     shape = (probes,) + (mtot,) * d
-    s_size = (2 * mtot - 1,) * d
+    L = 2 * mtot - 1
+    Lf = _next_smooth(L)
+    s_size = (Lf,) * d
     axes = tuple(range(1, d + 1))
     G = jnp.fft.fftn(gammas.reshape(shape), s=s_size, axes=axes)
     E = jnp.fft.fftn(etas.reshape(shape).astype(G.dtype), s=s_size, axes=axes)
     est_sums = jnp.mean(jnp.fft.ifftn(G * jnp.conj(E), s=s_size, axes=axes),
                         axis=0)
+    if Lf != L:
+        lag_idx = jnp.concatenate([jnp.arange(mtot),
+                                   jnp.arange(Lf - mtot + 1, Lf)])
+        for ax in range(d):
+            est_sums = jnp.take(est_sums, lag_idx, axis=ax)
 
     # FFT-ordered type-2 on the (2*mtot-1)^d lag grid (modeord=True in the
     # reference, efgpnd.py:1666-1679); "pallas" avoids materializing the
