@@ -410,25 +410,46 @@ def _variance_stochastic(state: FitState, x_new, key, *, probes: int,
                 ).astype(rdtype)
     else:
         etas = etas.astype(rdtype)
-    rhs = state.ws[None, :] * etas
-    res = _solve_var(state, rhs, cg_tol=cg_tol, max_cg_iter=max_cg_iter)
-    gammas = state.ws[None, :] * res.x
-
-    # cross-correlate on a 2,3,5,7-smooth grid >= 2*mtot-1 and extract
-    # the +-(mtot-1) lags: 2*mtot-1 is odd by construction and often has
-    # large prime factors (677 prime at the scale config, 321 = 3*107 at
-    # ERA5 rungs), which sends the TPU FFT down the slow non-smooth
-    # path; lags within the support are exact for ANY fft size >= 2m-1
+    # Probe-CHUNKED solve + correlation (running sum of exact per-chunk
+    # sums): both the (probes, M) CG state with its padded-FFT matvec
+    # buffers and the (probes, Lf^d) correlation spectra scale linearly
+    # with the probe count — 4096 unchunked probes wanted ~50 GB of HBM
+    # at the scale config; 256-probe chunks keep the peak flat.
+    #
+    # The correlation runs on a 2,3,5,7-smooth grid >= 2*mtot-1 and
+    # extracts the +-(mtot-1) lags: 2*mtot-1 is odd by construction and
+    # often has large prime factors (677 prime at the scale config,
+    # 321 = 3*107 at ERA5 rungs), which sends the TPU FFT down the slow
+    # non-smooth path; lags within the support are exact for ANY fft
+    # size >= 2m-1.
     from ..ops.toeplitz import _next_smooth
-    shape = (probes,) + (mtot,) * d
     L = 2 * mtot - 1
     Lf = _next_smooth(L)
     s_size = (Lf,) * d
     axes = tuple(range(1, d + 1))
-    G = jnp.fft.fftn(gammas.reshape(shape), s=s_size, axes=axes)
-    E = jnp.fft.fftn(etas.reshape(shape).astype(G.dtype), s=s_size, axes=axes)
-    est_sums = jnp.mean(jnp.fft.ifftn(G * jnp.conj(E), s=s_size, axes=axes),
-                        axis=0)
+    pc = min(probes, 256)
+    nc = -(-probes // pc)
+    pad = nc * pc - probes
+    eta_c = etas if pad == 0 else jnp.concatenate(
+        [etas, jnp.zeros((pad,) + etas.shape[1:], etas.dtype)])
+    eta_c = eta_c.reshape((nc, pc, mtot ** d))
+
+    def solve_corr_chunk(e_flat):
+        rhs = state.ws[None, :] * e_flat
+        res = _solve_var(state, rhs, cg_tol=cg_tol,
+                         max_cg_iter=max_cg_iter)
+        g = (state.ws[None, :] * res.x).reshape((pc,) + (mtot,) * d)
+        e = e_flat.reshape((pc,) + (mtot,) * d)
+        G = jnp.fft.fftn(g, s=s_size, axes=axes)
+        E = jnp.fft.fftn(e.astype(G.dtype), s=s_size, axes=axes)
+        return jnp.sum(jnp.fft.ifftn(G * jnp.conj(E), s=s_size, axes=axes),
+                       axis=0)
+
+    if nc == 1:
+        est_sums = solve_corr_chunk(eta_c[0]) / probes
+    else:
+        est_sums = jnp.sum(jax.lax.map(solve_corr_chunk, eta_c),
+                           axis=0) / probes
     if Lf != L:
         lag_idx = jnp.concatenate([jnp.arange(mtot),
                                    jnp.arange(Lf - mtot + 1, Lf)])
